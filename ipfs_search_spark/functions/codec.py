@@ -1,0 +1,145 @@
+"""Posting-list codec: docID delta + variable-byte, block-max metadata.
+
+The reference gets its posting format from Lucene inside OpenSearch (it never
+implements one — /root/reference delegates via docs/indices/files.json). This
+module is our from-scratch equivalent: numpy-vectorized (no per-row Python)
+encode/decode used inside applyInPandas/mapInPandas workers.
+
+Format, per (term, shard):
+  blocks: list of (first_doc_id:int64, n:int32, max_tf:int32,
+                   max_tfnorm:float64, doc_ids:bytes, tfs:bytes, dls:bytes)
+  - doc_ids ordered by their UNSIGNED 64-bit value (so deltas are
+    non-negative even for negative xxhash64 ids); first gap is 0 relative to
+    first_doc_id; varbyte(LEB128)-encoded gaps.
+  - tfs / dls varbyte-encoded as-is (small positive ints).
+  - max_tfnorm = max over the block of tf/(tf + k1*(1-b+b*dl/avgdl)) — the
+    block-max used for Block-Max-WAND-style pruning (multiply by idf at query
+    time). dls ride in the postings (Lucene "norms") so scoring needs NO join
+    back to the documents table.
+
+Block size 128 (BLOCK_SIZE) like Lucene's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ipfs_search_spark import BLOCK_SIZE, BM25_B, BM25_K1
+
+_MAX_VB_LEN = 10  # ceil(64/7)
+
+
+def varbyte_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized (bounded 10-pass loop
+    over byte slots, each pass a vector op)."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value
+    nbytes = np.ones(v.size, dtype=np.int64)
+    shifted = v >> np.uint64(7)
+    while shifted.any():
+        nbytes += (shifted > 0).astype(np.int64)
+        shifted >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # start offset of each value's byte run
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    for j in range(_MAX_VB_LEN):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        pos = starts[mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[pos] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, n: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array, vectorized via reduce-by-segment."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty(ends.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(_MAX_VB_LEN):
+        pos = starts + j
+        mask = pos <= ends
+        if not mask.any():
+            break
+        vals[mask] |= (b[pos[mask]].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    if n is not None and vals.size != n:
+        raise ValueError(f"decoded {vals.size} values, expected {n}")
+    return vals
+
+
+def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+           k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    """BM25 tf normalization, float64, same op order as the oracle
+    (oracle.py): tf / (tf + k1*(1 - b + b*dl/avgdl))."""
+    tf64 = tf.astype(np.float64)
+    denom = k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    return tf64 / (tf64 + denom)
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  avgdl: float, block_size: int = BLOCK_SIZE) -> list[dict]:
+    """Encode one (term, shard) posting list, pre-sorted by unsigned doc_id.
+
+    Returns a list of block dicts matching the `postings.blocks` element
+    schema in FIXTURES.md §4 (+ dls)."""
+    u = doc_ids.astype(np.int64).view(np.uint64)
+    if u.size and not (u[:-1] <= u[1:]).all():
+        order = np.argsort(u, kind="stable")
+        u, tfs, dls = u[order], tfs[order], dls[order]
+    norms = tfnorm(tfs, dls, avgdl)
+    blocks = []
+    for s in range(0, u.size, block_size):
+        e = min(s + block_size, u.size)
+        ids = u[s:e]
+        gaps = np.empty(ids.size, dtype=np.uint64)
+        gaps[0] = 0
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+        blocks.append({
+            "first_doc_id": int(ids[0].view(np.int64) if hasattr(ids[0], "view")
+                                else np.uint64(ids[0]).view(np.int64)),
+            "n": int(e - s),
+            "max_tf": int(tfs[s:e].max()),
+            "max_tfnorm": float(norms[s:e].max()),
+            "doc_ids": varbyte_encode(gaps),
+            "tfs": varbyte_encode(tfs[s:e].astype(np.uint64)),
+            "dls": varbyte_encode(dls[s:e].astype(np.uint64)),
+        })
+    return blocks
+
+
+def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """block (dict or Row) → (doc_ids int64, tfs int64, dls int64)."""
+    first = np.uint64(np.int64(block["first_doc_id"]).view(np.uint64)
+                      if isinstance(block["first_doc_id"], np.int64)
+                      else np.array(block["first_doc_id"], dtype=np.int64).view(np.uint64))
+    n = block["n"]
+    gaps = varbyte_decode(bytes(block["doc_ids"]), n)
+    ids = np.cumsum(gaps, dtype=np.uint64) + first
+    tfs = varbyte_decode(bytes(block["tfs"]), n).astype(np.int64)
+    dls = varbyte_decode(bytes(block["dls"]), n).astype(np.int64)
+    return ids.view(np.int64), tfs, dls
+
+
+def merge_sorted_runs(runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]]
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """K-way merge of docid-sorted runs (ids int64 in unsigned order) into one
+    sorted list — the second level of the salted posting build (SURVEY.md §7
+    milestone 2). Concatenate + stable argsort on the unsigned view: numpy's
+    sort is a single vectorized pass and runs are disjoint doc sets."""
+    ids = np.concatenate([r[0] for r in runs])
+    tfs = np.concatenate([r[1] for r in runs])
+    dls = np.concatenate([r[2] for r in runs])
+    order = np.argsort(ids.view(np.uint64), kind="stable")
+    return ids[order], tfs[order], dls[order]

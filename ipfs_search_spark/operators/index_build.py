@@ -1,0 +1,222 @@
+"""Inverted-index build: pages → documents → sharded postings on Iceberg.
+
+Architecture (Spark-first restatement of the reference's OpenSearch layer,
+which runs 20 Lucene shards — /root/reference/docs/indices/files.json:66):
+
+  pages ──latest-wins dedup──> documents (url, doc_id, text, lang, dl, status)
+        ──tokenize (JVM split/explode, WSCG)──> tokens(doc_id, dl, term, tf)
+        ──shard = pmod(xxhash64(doc_id), S)──>
+        ──groupBy(term, shard).applyInPandas(encode)──> postings
+  term_stats = postings.groupBy(term).agg(sum df/cf)   (tiny: 1 row/term/shard)
+  index_stats = (n_docs, avgdl)                        (exact, one agg)
+
+Why doc-sharding instead of one global posting list per term:
+- each doc lives in exactly ONE shard, so BM25 scores are complete within a
+  shard and global top-k = merge of per-shard top-k — exact (Lucene does the
+  same across its 20 shards);
+- the largest pandas group is df(term)/S postings — a stopword with 10^9
+  postings at 100 TB splits across thousands of shards instead of one 8 GB
+  task; this *is* the salted term-partitioned shuffle the north rule demands,
+  with the salt chosen so correctness needs no second-level merge;
+- AQE skew-join/partition-split covers the residual long tail.
+
+A compaction path (merge_term_shards) k-way-merges per-shard runs into one
+global docid-sorted list per term for the single-segment layout of
+FIXTURES.md §4 — used for segment export, not required for querying.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from ipfs_search_spark import BLOCK_SIZE, MAX_EXTRACT_BYTES
+from ipfs_search_spark.catalog import TableIO
+from ipfs_search_spark.functions.extract import with_extracted_text
+from ipfs_search_spark.functions.tokenize import doc_tokens
+
+BLOCK_SCHEMA = StructType([
+    StructField("first_doc_id", LongType()),
+    StructField("n", IntegerType()),
+    StructField("max_tf", IntegerType()),
+    StructField("max_tfnorm", DoubleType()),
+    StructField("doc_ids", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("dls", BinaryType()),
+])
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("shard", IntegerType()),
+    StructField("bucket", IntegerType()),
+    StructField("df_part", LongType()),
+    StructField("cf_part", LongType()),
+    StructField("blocks", ArrayType(BLOCK_SCHEMA)),
+])
+
+
+def latest_pages(pages: DataFrame) -> DataFrame:
+    """W2 latest-observation-wins per url (reference sniffer dedup,
+    /root/reference/components/sniffer/providerfilters/lastseenfilter.go:55-90
+    — batch form). One shuffle on url; ties broken deterministically by the
+    html payload hash so reruns are stable."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+    )
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
+                        extract: bool = True) -> DataFrame:
+    """pages → documents with doc_id, first/last_seen, extracted text, status.
+
+    doc_id = xxhash64(url) — deterministic, join-free, collision odds ~n²/2⁶⁵
+    (≈5e-6 at 10^9 docs). first/last_seen truncated to seconds like the
+    reference (/root/reference/components/crawler/index.go:20-24)."""
+    seen = pages.groupBy("url").agg(
+        F.date_trunc("second", F.min("warc_ts")).alias("first_seen"),
+        F.date_trunc("second", F.max("warc_ts")).alias("last_seen"),
+    )
+    latest = latest_pages(pages)
+    if extract:
+        latest = with_extracted_text(
+            latest.drop("text"), max_bytes=max_bytes, status_col="status")
+    else:
+        latest = latest.withColumn(
+            "status",
+            F.when(F.length("html") > max_bytes, F.lit("invalid_too_large"))
+            .when(F.coalesce(F.length("html"), F.lit(0)) == 0, F.lit("partial"))
+            .otherwise(F.lit("ok")),
+        )
+    docs = (latest.join(seen, "url")
+            .withColumn("doc_id", F.xxhash64("url"))
+            .withColumn("size", F.length("html").cast("long"))
+            .select("url", "doc_id", "first_seen", "last_seen", "size",
+                    "text", "lang", "status"))
+    return docs
+
+
+def _make_encoder(avgdl: float, block_size: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from ipfs_search_spark.functions.codec import encode_blocks
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids.view(np.uint64), kind="stable")
+        blocks = encode_blocks(ids[order], tfs[order], dls[order],
+                               avgdl=avgdl, block_size=block_size)
+        return pd.DataFrame({
+            "term": [pdf["term"].iloc[0]],
+            "shard": [int(pdf["shard"].iloc[0])],
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "df_part": [int(len(ids))],
+            "cf_part": [int(tfs.sum())],
+            "blocks": [blocks],
+        })
+    return encode_group
+
+
+def compute_doc_stats(docs: DataFrame) -> tuple[int, float]:
+    """Exact N and avgdl over indexable docs (dl > 0). One tiny agg; the dl
+    column is counted JVM-side from the token array (no Python). Identity-path
+    exactness — no sketches (SURVEY.md §7 hard part 2)."""
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    row = (docs.filter(F.col("status") == "ok")
+           .select(F.size(tokens_array(F.col("text"))).alias("dl"))
+           .filter(F.col("dl") > 0)
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+           .collect()[0])
+    n = int(row["n"])
+    return n, (float(row["sdl"]) / n if n else 0.0)
+
+
+def build_postings(docs: DataFrame, avgdl: float, n_shards: int = 8,
+                   n_buckets: int = 64, block_size: int = BLOCK_SIZE,
+                   lang_aware: bool = False) -> DataFrame:
+    """tokens → encoded postings. The groupBy(term, shard) is THE big shuffle
+    of the build; partial aggregation of tf happens map-side in doc_tokens'
+    hash agg, so shuffle rows are (doc, term) pairs, not raw tokens."""
+    ok = docs.filter(F.col("status") == "ok")
+    tokens = doc_tokens(ok, doc_col="doc_id", text_col="text",
+                        lang_col="lang" if lang_aware else None)
+    sharded = tokens.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    return sharded.groupBy("term", "shard").applyInPandas(
+        _make_encoder(avgdl, block_size), POSTINGS_SCHEMA)
+
+
+def build_index(spark: SparkSession, pages: DataFrame, io: TableIO,
+                n_shards: int = 8, n_buckets: int = 64,
+                block_size: int = BLOCK_SIZE,
+                max_bytes: int = MAX_EXTRACT_BYTES,
+                extract: bool = True) -> dict:
+    """Full build: writes documents, postings (partitioned by bucket →
+    query-time partition pruning), term_stats, index_stats. Returns stats."""
+    docs = canonical_documents(pages, max_bytes=max_bytes, extract=extract)
+    io.write(docs, "documents")
+    docs = io.read("documents")  # cut lineage; single extraction pass
+    n_docs, avgdl = compute_doc_stats(docs)
+    postings = build_postings(docs, avgdl, n_shards=n_shards,
+                              n_buckets=n_buckets, block_size=block_size)
+    io.write(postings, "postings", partition_by=["bucket"])
+    postings = io.read("postings")
+    term_stats = postings.groupBy("term").agg(
+        F.first("bucket").alias("bucket"),
+        F.sum("df_part").alias("df"),
+        F.sum("cf_part").alias("cf"),
+    )
+    io.write(term_stats, "term_stats")
+    io.write(
+        spark.createDataFrame(
+            [(n_docs, avgdl, n_shards, n_buckets, block_size)],
+            "n_docs long, avgdl double, n_shards int, n_buckets int, block_size int",
+        ),
+        "index_stats",
+    )
+    return {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards,
+            "n_buckets": n_buckets}
+
+
+def merge_term_shards(postings: DataFrame, avgdl: float,
+                      block_size: int = BLOCK_SIZE) -> DataFrame:
+    """Compaction: k-way merge per-shard runs → one global docid-sorted
+    posting list per term (single-segment layout, FIXTURES.md §4). Second
+    groupBy level of the salted build (SURVEY.md §7 milestone 2)."""
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from ipfs_search_spark.functions.codec import (
+            decode_block, encode_blocks, merge_sorted_runs,
+        )
+        runs = []
+        for blocks in pdf["blocks"]:
+            ids_l, tfs_l, dls_l = [], [], []
+            for blk in blocks:
+                i, t, d = decode_block(blk)
+                ids_l.append(i); tfs_l.append(t); dls_l.append(d)
+            if ids_l:
+                runs.append((np.concatenate(ids_l), np.concatenate(tfs_l),
+                             np.concatenate(dls_l)))
+        ids, tfs, dls = merge_sorted_runs(runs)
+        blocks = encode_blocks(ids, tfs, dls, avgdl=avgdl,
+                               block_size=block_size)
+        return pd.DataFrame({
+            "term": [pdf["term"].iloc[0]],
+            "shard": [-1],
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "df_part": [int(ids.size)],
+            "cf_part": [int(tfs.sum())],
+            "blocks": [blocks],
+        })
+
+    return postings.groupBy("term").applyInPandas(merge_group, POSTINGS_SCHEMA)

@@ -1,0 +1,77 @@
+"""Pure-Python BM25 oracle — the rank-identity ground truth.
+
+Exact Lucene-default BM25 (the scoring the reference gets from OpenSearch,
+which it delegates to — /root/reference/docs/indices/files.json declares the
+analyzed fields; scoring params are OpenSearch defaults k1=1.2, b=0.75):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm    = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(d,q) = sum over unique query terms t present in d of idf(t)*tf_norm
+
+All math in float64; the per-doc sum runs in ascending unique-term order so
+the Spark engine (which sums in the same order) is bit-comparable, and ties
+break by ascending doc key. SURVEY.md §7 "hard parts" (2).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from ipfs_search_spark import BM25_B, BM25_K1
+from ipfs_search_spark.functions.tokenize import tokenize_str
+
+
+class BM25Oracle:
+    def __init__(self, docs: dict, k1: float = BM25_K1, b: float = BM25_B,
+                 langs: dict | None = None):
+        """docs: {doc_key: text}; langs: optional {doc_key: lang}."""
+        self.k1, self.b = k1, b
+        self.tf: dict = {}
+        self.dl: dict = {}
+        self.df: Counter = Counter()
+        langs = langs or {}
+        for key, text in docs.items():
+            toks = tokenize_str(text, langs.get(key, "en"))
+            if not toks:
+                continue
+            c = Counter(toks)
+            self.tf[key] = c
+            self.dl[key] = len(toks)
+            for t in c:
+                self.df[t] += 1
+        self.n_docs = len(self.tf)
+        self.avgdl = (sum(self.dl.values()) / self.n_docs) if self.n_docs else 0.0
+
+    def idf(self, term: str) -> float:
+        d = self.df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+
+    def score(self, key, terms: list[str]) -> float:
+        c = self.tf.get(key)
+        if not c:
+            return 0.0
+        s = 0.0
+        dl = self.dl[key]
+        denom_k = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        for t in sorted(set(terms)):
+            tf = c.get(t, 0)
+            if tf:
+                s += self.idf(t) * (tf / (tf + denom_k))
+        return s
+
+    def search(self, query_terms: list[str], k: int = 10,
+               mode: str = "or") -> list[tuple]:
+        """Top-k (doc_key, score), OR semantics by default; 'and' requires
+        every term present (query-side posting intersection, SURVEY.md §2 J6)."""
+        uniq = sorted(set(query_terms))
+        hits = []
+        for key, c in self.tf.items():
+            present = [t for t in uniq if t in c]
+            if not present:
+                continue
+            if mode == "and" and len(present) != len(uniq):
+                continue
+            hits.append((key, self.score(key, uniq)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

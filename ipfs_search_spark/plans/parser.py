@@ -1,0 +1,91 @@
+"""Query-string parser — the reference's search surface.
+
+The reference exposes OpenSearch `query_string` queries
+(/root/reference/docs/api.md:4-8): free terms, `field:value` filters,
+range filters like `last-seen:>now-1M`, and `-term` negation. We parse to a
+structured Query the scorer + Catalyst filters consume.
+
+Supported grammar (superset of what the reference's own doc examples use):
+  term            free text term (analyzed with the canonical tokenizer)
+  "a b"           phrase → its analyzed terms (AND semantics, no positions v1)
+  -term           NOT term (left-anti on the term's doc set)
+  field:value     equality filter (lang, status, url)
+  last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
+  size:>N, size:<N                   numeric range filter
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ipfs_search_spark.functions.tokenize import tokenize_str
+
+_FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
+                  "first-seen", "first_seen", "size"}
+_REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
+_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+
+
+@dataclass
+class Filter:
+    field: str
+    op: str  # '=', '>', '<', '>=', '<='
+    value: str
+
+
+@dataclass
+class Query:
+    terms: list = field(default_factory=list)
+    not_terms: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    mode: str = "or"
+
+
+def _norm_field(f: str) -> str:
+    return f.replace("-", "_")
+
+
+def parse_query(q: str, mode: str = "or") -> Query:
+    out = Query(mode=mode)
+    for raw in _TOKEN_RE.findall(q):
+        neg = raw.startswith("-") and len(raw) > 1
+        tok = raw[1:] if neg else raw
+        if tok.startswith('"') and tok.endswith('"'):
+            terms = tokenize_str(tok[1:-1])
+            (out.not_terms if neg else out.terms).extend(terms)
+            continue
+        if ":" in tok:
+            fld, _, val = tok.partition(":")
+            if fld.lower() in _FILTER_FIELDS:
+                op = "="
+                for cand in (">=", "<=", ">", "<"):
+                    if val.startswith(cand):
+                        op, val = cand, val[len(cand):]
+                        break
+                out.filters.append(Filter(_norm_field(fld.lower()), op, val))
+                continue
+        terms = tokenize_str(tok)
+        (out.not_terms if neg else out.terms).extend(terms)
+    out.terms = sorted(set(out.terms))
+    out.not_terms = sorted(set(out.not_terms) - set(out.terms))
+    return out
+
+
+def filter_to_sql(flt: Filter) -> str:
+    """Render one filter as a Spark SQL predicate over the documents table."""
+    fld = flt.field
+    if fld in ("last_seen", "first_seen"):
+        m = _REL_RE.match(flt.value)
+        if m:
+            n, unit = int(m.group(1)), m.group(2)
+            iv = {"d": "DAYS", "h": "HOURS", "M": "DAYS", "y": "DAYS"}[unit]
+            mult = {"d": 1, "h": 1, "M": 30, "y": 365}[unit]
+            rhs = f"current_timestamp() - INTERVAL {n * mult} {iv}"
+        else:
+            rhs = f"timestamp'{flt.value}'"
+    elif fld == "size":
+        rhs = flt.value
+    else:
+        rhs = "'" + flt.value.replace("'", "''") + "'"
+    return f"{fld} {flt.op} {rhs}"

@@ -1,0 +1,71 @@
+"""Posting codec round-trips (the reference's analogous serialization test is
+the CBOR+LZ4 round-trip, /root/reference/components/index/types/references_test.go)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ipfs_search_spark.functions.codec import (
+    decode_block, encode_blocks, merge_sorted_runs, varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varbyte_decode(varbyte_encode(arr), len(vals)) == arr).all()
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+def test_varbyte_compact():
+    small = np.arange(1000, dtype=np.uint64)
+    assert len(varbyte_encode(small)) < 2 * 1000  # ≤2 bytes/value under 16384
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000])
+def test_block_roundtrip(n):
+    rng = np.random.default_rng(n)
+    ids = np.unique(rng.integers(-2**63, 2**63 - 1, size=n, dtype=np.int64))
+    order = np.argsort(ids.view(np.uint64))
+    ids = ids[order]
+    tfs = rng.integers(1, 100, size=ids.size, dtype=np.int64)
+    dls = rng.integers(1, 1000, size=ids.size, dtype=np.int64)
+    blocks = encode_blocks(ids, tfs, dls, avgdl=50.0, block_size=128)
+    assert len(blocks) == -(-ids.size // 128)
+    di, dt, dd = zip(*(decode_block(b) for b in blocks))
+    assert (np.concatenate(di) == ids).all()
+    assert (np.concatenate(dt) == tfs).all()
+    assert (np.concatenate(dd) == dls).all()
+    for b, bt in zip(blocks, dt):
+        assert b["max_tf"] == bt.max()
+        assert b["n"] == bt.size
+
+
+def test_blockmax_metadata():
+    ids = np.arange(300, dtype=np.int64)
+    tfs = np.ones(300, dtype=np.int64)
+    tfs[5] = 50  # spike in block 0
+    dls = np.full(300, 100, dtype=np.int64)
+    blocks = encode_blocks(ids, tfs, dls, avgdl=100.0, block_size=128)
+    assert blocks[0]["max_tf"] == 50
+    assert blocks[1]["max_tf"] == 1
+    assert blocks[0]["max_tfnorm"] > blocks[1]["max_tfnorm"]
+
+
+def test_merge_runs_interleaved():
+    rng = np.random.default_rng(0)
+    ids = np.unique(rng.integers(-2**62, 2**62, size=2000, dtype=np.int64))
+    order = np.argsort(ids.view(np.uint64))
+    ids = ids[order]
+    tfs = rng.integers(1, 9, ids.size, dtype=np.int64)
+    dls = rng.integers(1, 99, ids.size, dtype=np.int64)
+    runs = [(ids[i::3], tfs[i::3], dls[i::3]) for i in range(3)]
+    mi, mt, md = merge_sorted_runs(runs)
+    assert (mi == ids).all() and (mt == tfs).all() and (md == dls).all()
