@@ -1,38 +1,723 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator of the engine (SURVEY.md §2 inventory
++ the training-data pipeline ops), implemented Spark-first in
+``ipfs_search_spark`` and mirrored by an ANSI-SQL oracle in ``oracle_sql()``
+that DuckDB runs on the same parquet tables. Column names/aliases match
+exactly; float outputs are rounded identically on both sides so the driver's
+value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# DuckDB fragment: canonical analyzer (identical semantics to
+# ipfs_search_spark.functions.tokenize.tokens_array)
+_TOK = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x != '')")
+
+FLAGSHIP_TERMS = ["merge", "window", "hash"]
+FLAGSHIP_K = 10
+
+_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _engine_io(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the posting-list index over the `documents`
+    table, preserving its doc_ids, in a temp dir."""
+    key = os.path.abspath(sf_dir)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-index-"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"), F.col("lang"), F.lit("ok").alias("status"),
+    )
+    build_index_from_docs(spark, docs, io, n_shards=4, n_buckets=16)
+    _ENGINE_CACHE[key] = io
+    return io
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), tstats AS (
+  SELECT term, count(*) AS df FROM toks WHERE term IN ({tl}) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(sum(
+           ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+           (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                    0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ), 6) AS DOUBLE) AS score
+  FROM toks t
+  JOIN tstats ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term IN ({tl})
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25_brute(spark: SparkSession, sf_dir: str, terms: list[str], k: int
+                ) -> DataFrame:
+    """BM25 via pure DataFrame built-ins (no postings) — the SQL-path
+    baseline; whole-stage codegen end to end."""
+    from ipfs_search_spark.functions.tokenize import doc_tokens
+    docs = _t(spark, sf_dir, "documents")
+    toks = doc_tokens(docs, doc_col="doc_id", text_col="text")
+    dls = toks.select("doc_id", "dl").distinct()
+    stats = dls.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sdl"))
+    qt = toks.filter(F.col("term").isin(terms))
+    tstats = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (qt.join(F.broadcast(tstats), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", F.log(F.lit(1.0) +
+                          (F.col("n_docs") - F.col("df") + 0.5) /
+                          (F.col("df") + 0.5)))
+              .withColumn("avgdl",
+                          F.col("sdl").cast("double") / F.col("n_docs"))
+              .withColumn("contrib", F.col("idf") *
+                          (F.col("tf") / (F.col("tf") + 1.2 *
+                           (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("contrib"), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("doc_id", "score", "rank")
+
+
+def _bm25_engine(spark: SparkSession, sf_dir: str, terms: list[str], k: int
+                 ) -> DataFrame:
+    """BM25 through the full engine: compressed sharded postings + block-max
+    pruned scorer. Over-fetches, rounds, re-ranks so rounding ties resolve
+    identically to the SQL oracle."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, " ".join(terms))], k=k + 50, prune=True)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "score", "rank"))
+
+
+def _neardup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-duplicates (truncated copies of every 10th
+    doc) — deterministic, mirrored exactly in the oracle SQL."""
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.expr("substring(text, 1, greatest(cast(n_chars as int) - 10, 20))")
+        .alias("text"),
+    )
+    return base.unionByName(planted).filter(
+        F.size(tokens_array(F.col("text"))) >= 3)
+
+
+_NEARDUP_BASE_SQL = """
+  SELECT id, text FROM (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id,
+           substr(text, 1, greatest(CAST(n_chars AS INT) - 10, 20)) AS text
+    FROM documents WHERE doc_id % 10 = 0
+  ) WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          x -> x != '')) >= 3
+"""
+
+_SHINGLE3_SQL = ("list_transform(range(1, greatest(len(a) - 2, 0) + 1), "
+                 "i -> array_to_string(list_slice(a, i, i + 2), ' '))")
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_latest_wins(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import latest_wins
+    ev = _t(spark, sf_dir, "events")
+    return latest_wins(ev, "user_id", "ts", tiebreak=["event_id"]).select(
+        "user_id", "event_id", "event_type", "value")
+
+
+def q_first_last_seen(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import first_last_seen
+    return first_last_seen(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def q_anti_join_new(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import anti_join_new
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return anti_join_new(cust, orders, "c_custkey").select(
+        "c_custkey", "c_name")
+
+
+def q_multiget_probe(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import multiget_probe
+    batch = _t(spark, sf_dir, "events").select("user_id").distinct()
+    stores = [
+        ("customer", _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("supplier", _t(spark, sf_dir, "supplier"), "s_suppkey"),
+    ]
+    return multiget_probe(batch, stores, "user_id").select(
+        "user_id", "found_in")
+
+
+def q_links_agg(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import aggregate_links
+    li = _t(spark, sf_dir, "lineitem")
+    agg = aggregate_links(li, "l_orderkey",
+                          ["l_linenumber", "l_partkey"], cap=5)
+    return agg.select(F.col("l_orderkey").alias("parent"), "n_links",
+                      F.size("links").cast("long").alias("n_kept"),
+                      "dir_status")
+
+
+def q_classify_status(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import classify_status
+    docs = _t(spark, sf_dir, "documents")
+    c = classify_status(docs, "n_chars", max_size=500, partial_size=128)
+    return c.groupBy("lang", "status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_update_hysteresis(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import update_last_seen_hysteresis
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    state = (ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+             .groupBy("user_id")
+             .agg(F.date_trunc("second", F.max("ts")).alias("last_seen")))
+    batch = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    out = update_last_seen_hysteresis(state, batch, "user_id")
+    return out.select("user_id", "last_seen", "last_seen_effective")
+
+
+def q_reference_merge(spark, sf_dir):
+    from ipfs_search_spark.operators.ingest import merge_references
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    mk = lambda df: df.select("user_id",
+                              F.col("event_type").alias("parent_hash"),
+                              F.col("event_type").alias("name"))
+    merged = merge_references(mk(ev.filter(F.col("ts") < cutoff)),
+                              mk(ev.filter(F.col("ts") >= cutoff)),
+                              key="user_id")
+    return merged.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+def q_term_stats(spark, sf_dir):
+    from ipfs_search_spark.functions.tokenize import doc_tokens
+    toks = doc_tokens(_t(spark, sf_dir, "documents"),
+                      doc_col="doc_id", text_col="text")
+    agg = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.sum("tf").alias("cf"))
+    return agg.orderBy(F.desc("cf"), F.asc("term")).limit(50)
+
+
+def q_doc_stats(spark, sf_dir):
+    from ipfs_search_spark.functions.tokenize import doc_tokens
+    toks = doc_tokens(_t(spark, sf_dir, "documents"),
+                      doc_col="doc_id", text_col="text")
+    dls = toks.select("doc_id", "dl").distinct()
+    return dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("dl").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avgdl"),
+        F.sum("dl").alias("total_tokens"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _bm25_brute(spark, sf_dir, FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_bm25_engine(spark, sf_dir):
+    return _bm25_engine(spark, sf_dir, FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ipfs_search_spark.operators.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_dedup(docs, "doc_id", "text")
+    return out.select("doc_id", "digest", "keeper_id", "dup_count",
+                      "is_keeper")
+
+
+def q_minhash_fingerprint(spark, sf_dir):
+    from ipfs_search_spark.functions.textstats import (
+        doc_fingerprint, minhash_signature,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), n_hashes=4, shingle_n=3)
+    return docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text"), 5).alias("fingerprint"),
+        F.element_at(sig, 1).alias("mh0"),
+        F.element_at(sig, 2).alias("mh1"),
+        F.element_at(sig, 3).alias("mh2"),
+        F.element_at(sig, 4).alias("mh3"))
+
+
+def q_lsh_neardup(spark, sf_dir):
+    from ipfs_search_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_verify,
+    )
+    base = _neardup_base(spark, sf_dir)
+    pairs = minhash_lsh_pairs(base, "id", "text", n_hashes=8, bands=4,
+                              shingle_n=3)
+    return ngram_jaccard_verify(base, pairs, "id", "text", shingle_n=3,
+                                threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from ipfs_search_spark.operators.dedup import simhash_dedup
+    base = _neardup_base(spark, sf_dir)
+    return simhash_dedup(base, "id", "text", max_hamming=8)
+
+
+def q_ann_cosine(spark, sf_dir):
+    from ipfs_search_spark.operators.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .collect()[0][0]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+def q_embed_neardup(spark, sf_dir):
+    from ipfs_search_spark.operators.similarity import cosine_neardup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "label", threshold=0.8)
+
+
+def q_quality(spark, sf_dir):
+    from ipfs_search_spark.functions.textstats import (
+        punct_ratio, quality_score, stopword_ratio, token_count,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    from ipfs_search_spark.functions.textstats import lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_token_histogram(spark, sf_dir):
+    from ipfs_search_spark.functions.textstats import token_count
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    bucket = F.least(F.floor(n / F.lit(16.0)), F.lit(20)).cast("int")
+    return (docs.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_tpch_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"))
+
+
+def q_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "rnk", "o_orderkey", "o_totalprice"))
+
+
+def q_recency_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (ev.crossJoin(F.broadcast(mx))
+            .filter(F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing (decode stub): rows-only check (no SQL oracle —
+    mapInPandas media decode is not SQL-expressible)."""
+    from ipfs_search_spark.operators.multimodal import decode_image_meta
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("blob"))
+    meta = decode_image_meta(blobs, fake=True)
+    return (meta.groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_bytes").alias("total_bytes")))
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Batch-equivalent of the watermarked streaming dedup (first sighting
+    per url within the stream) — rows-only check for the streaming operator;
+    the true streaming execution is covered in tests/test_streaming.py."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", F.col("ts").alias("first_ts"), "event_type"))
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine (compressed sharded postings + block-max pruned
+    BM25 top-k) over the sf0.001 documents corpus."""
+    return _bm25_engine(spark, "/root/testdata/sf0.001",
+                        FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_latest_wins": q_latest_wins,
+        "q_first_last_seen": q_first_last_seen,
+        "q_anti_join_new": q_anti_join_new,
+        "q_multiget_probe": q_multiget_probe,
+        "q_links_agg": q_links_agg,
+        "q_classify_status": q_classify_status,
+        "q_update_hysteresis": q_update_hysteresis,
+        "q_reference_merge": q_reference_merge,
+        "q_term_stats": q_term_stats,
+        "q_doc_stats": q_doc_stats,
+        "q_bm25_topk": q_bm25_topk,
+        "q_bm25_engine": q_bm25_engine,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_fingerprint": q_minhash_fingerprint,
+        "q_lsh_neardup": q_lsh_neardup,
+        "q_simhash_neardup": q_simhash_neardup,
+        "q_ann_cosine": q_ann_cosine,
+        "q_embed_neardup": q_embed_neardup,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_token_histogram": q_token_histogram,
+        "q_tpch_pricing": q_tpch_pricing,
+        "q_topk_orders": q_topk_orders,
+        "q_recency_filter": q_recency_filter,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_streaming_dedup": q_streaming_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K)
+    return {
+        "q_latest_wins": """
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""",
+        "q_first_last_seen": """
+SELECT user_id,
+       date_trunc('second', min(ts)) AS first_seen,
+       date_trunc('second', max(ts)) AS last_seen,
+       count(*) AS n_sightings
+FROM events GROUP BY user_id
+""",
+        "q_anti_join_new": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+        "q_multiget_probe": """
+SELECT u.user_id,
+       CASE WHEN c.c_custkey IS NOT NULL THEN 'customer'
+            WHEN s.s_suppkey IS NOT NULL THEN 'supplier'
+            ELSE 'missing' END AS found_in
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+       ON u.user_id = c.c_custkey
+LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+       ON u.user_id = s.s_suppkey
+""",
+        "q_links_agg": """
+SELECT l_orderkey AS parent, count(*) AS n_links,
+       least(count(*), 5) AS n_kept,
+       CASE WHEN count(*) > 5 THEN 'invalid' ELSE 'ok' END AS dir_status
+FROM lineitem GROUP BY l_orderkey
+""",
+        "q_classify_status": """
+SELECT lang,
+       CASE WHEN n_chars > 500 THEN 'invalid_too_large'
+            WHEN n_chars = 128 THEN 'partial'
+            WHEN n_chars <= 0 THEN 'partial'
+            ELSE 'ok' END AS status,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+""",
+        "q_update_hysteresis": """
+WITH state AS (
+  SELECT user_id, date_trunc('second', max(ts)) AS last_seen
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+), newest AS (
+  SELECT user_id, max(ts) AS new_ts
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+)
+SELECT s.user_id, s.last_seen,
+       CASE WHEN n.new_ts > s.last_seen + INTERVAL 1 HOUR
+            THEN date_trunc('second', n.new_ts)
+            ELSE s.last_seen END AS last_seen_effective
+FROM state s LEFT JOIN newest n ON s.user_id = n.user_id
+""",
+        "q_reference_merge": """
+SELECT user_id, count(*) AS n_refs
+FROM (SELECT DISTINCT user_id, event_type AS parent_hash, event_type AS name
+      FROM events)
+GROUP BY user_id
+""",
+        "q_term_stats": f"""
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+GROUP BY term ORDER BY cf DESC, term LIMIT 50
+""",
+        "q_doc_stats": f"""
+WITH dl AS (
+  SELECT doc_id, count(*) AS dl
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id
+)
+SELECT count(*) AS n_docs,
+       CAST(round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avgdl,
+       sum(dl) AS total_tokens
+FROM dl
+""",
+        "q_bm25_topk": bm25,
+        "q_bm25_engine": bm25,
+        "q_dedup_exact": """
+WITH h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+  FROM documents
+)
+SELECT doc_id, digest,
+       min(doc_id) OVER (PARTITION BY digest) AS keeper_id,
+       count(*) OVER (PARTITION BY digest) AS dup_count,
+       doc_id = min(doc_id) OVER (PARTITION BY digest) AS is_keeper
+FROM h
+""",
+        "q_minhash_fingerprint": f"""
+WITH arr AS (
+  SELECT doc_id, {_TOK.replace("lower(text)", "lower(text)")} AS a
+  FROM documents
+), sh3 AS (
+  SELECT doc_id, {_SHINGLE3_SQL} AS s FROM arr
+), sh5 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(a) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(a, i, i + 4), ' ')) AS s
+  FROM arr
+)
+SELECT a.doc_id,
+       list_aggregate(list_transform(sh5.s, x -> md5(x)), 'min') AS fingerprint,
+       list_aggregate(list_transform(sh3.s, x -> md5('0|' || x)), 'min') AS mh0,
+       list_aggregate(list_transform(sh3.s, x -> md5('1|' || x)), 'min') AS mh1,
+       list_aggregate(list_transform(sh3.s, x -> md5('2|' || x)), 'min') AS mh2,
+       list_aggregate(list_transform(sh3.s, x -> md5('3|' || x)), 'min') AS mh3
+FROM arr a JOIN sh3 ON a.doc_id = sh3.doc_id JOIN sh5 ON a.doc_id = sh5.doc_id
+""",
+        "q_lsh_neardup": f"""
+WITH base AS ({_NEARDUP_BASE_SQL}),
+arr AS (
+  SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS a, text
+  FROM base
+), sh AS (
+  SELECT id, {_SHINGLE3_SQL} AS s FROM arr
+), sig AS (
+  SELECT id,
+         [list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min'),
+          list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min')] AS sg
+  FROM sh
+), bands AS (
+  SELECT id, unnest([md5('0|' || sg[1] || '|' || sg[2]),
+                     md5('1|' || sg[3] || '|' || sg[4]),
+                     md5('2|' || sg[5] || '|' || sg[6]),
+                     md5('3|' || sg[7] || '|' || sg[8])]) AS band_key
+  FROM sig
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.id < b.id GROUP BY 1, 2
+), dsh AS (
+  SELECT id, list_distinct(s) AS ds FROM sh
+)
+SELECT p.id_a, p.id_b,
+       CAST(round(CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE) /
+                  len(list_distinct(list_concat(x.ds, y.ds))), 6) AS DOUBLE)
+       AS jaccard
+FROM pairs p JOIN dsh x ON p.id_a = x.id JOIN dsh y ON p.id_b = y.id
+WHERE CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE) /
+      len(list_distinct(list_concat(x.ds, y.ds))) >= 0.5
+""",
+        "q_ann_cosine": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(
+         list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+         (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(q.qv, q.qv))), 6) AS DOUBLE) AS cosine
+FROM embeddings CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "q_embed_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) /
+         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(a.embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])))), 6)
+       AS DOUBLE) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(a.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])))) >= 0.8
+""",
+        "q_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOK} AS a FROM documents
+), m AS (
+  SELECT doc_id,
+    len(a) AS n_tokens,
+    CASE WHEN len(text) > 0
+         THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                   AS DOUBLE) / len(text)
+         ELSE 0.0 END AS pr,
+    CASE WHEN len(a) > 0
+         THEN CAST(len(list_filter(a, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','it'], x)))
+              AS DOUBLE) / len(a)
+         ELSE 0.0 END AS sr
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(round(pr, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(sr, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(least(n_tokens / 64.0, 1.0) *
+                  greatest(0.0, 1.0 - pr * 4.0) *
+                  (CASE WHEN sr >= 0.05 AND sr <= 0.6
+                        THEN 1.0 ELSE 0.5 END), 6) AS DOUBLE) AS quality
+FROM m
+""",
+        "q_lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOK} AS a FROM documents),
+h AS (
+  SELECT doc_id,
+    len(list_filter(a, x -> list_contains(
+        ['the','and','of','to','in','is','that','it'], x))) AS h_en,
+    len(list_filter(a, x -> list_contains(
+        ['der','die','das','und','ist','nicht','ein','zu'], x))) AS h_de,
+    len(list_filter(a, x -> list_contains(
+        ['le','la','les','et','est','une','que','des'], x))) AS h_fr,
+    len(list_filter(a, x -> list_contains(
+        ['el','la','los','y','es','una','que','de'], x))) AS h_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_fr, h_es) < 1 THEN 'und'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       WHEN h_fr >= h_es THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM h
+""",
+        "q_token_histogram": f"""
+SELECT CAST(least(floor(len({_TOK}) / 16.0), 20) AS INT) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "q_tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS DOUBLE) AS sum_charge,
+       CAST(round(sum(l_quantity) / count(*), 4) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "q_topk_orders": """
+SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+""",
+        "q_recency_filter": """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY event_type
+""",
+    }

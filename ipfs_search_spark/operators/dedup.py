@@ -1,0 +1,151 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+- exact:        hash-groupBy on a content digest (one shuffle on the digest)
+- minhash LSH:  shingle → minhash → band → bucket-join (near-dup candidates
+                meet only inside a band bucket — no all-pairs join)
+- simhash:      64-bit simhash + hamming-ball candidate pairs via band tables
+- ngram jaccard: exact verify step for candidate pairs
+- embedding:    cosine near-dup within LSH buckets (see similarity.py)
+
+The reference's analogue is the per-document fingerprint analyzer
+(5-shingles + min_hash, /root/reference/docs/indices/files.json:39-63) —
+OpenSearch stores the sketch; the LSH-join materialization is ours.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ipfs_search_spark.functions.textstats import minhash_signature, shingles
+
+
+def exact_dedup(df: DataFrame, key: str, text_col: str = "text",
+                normalize: bool = True) -> DataFrame:
+    """Exact dedup on a content digest; keeper = min key per digest.
+    Adds (digest, keeper_id, dup_count, is_keeper). One shuffle on digest;
+    at 100 TB the digest groupBy is the canonical map-side-combinable agg."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    with_h = df.withColumn("digest", F.md5(t))
+    w = Window.partitionBy("digest")
+    return (with_h
+            .withColumn("keeper_id", F.min(key).over(w))
+            .withColumn("dup_count", F.count(F.lit(1)).over(w))
+            .withColumn("is_keeper", F.col(key) == F.col("keeper_id")))
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
+                      n_hashes: int = 8, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    signature(n_hashes) split into `bands` bands of n_hashes/bands rows each;
+    docs sharing any band collide. Returns (id_a, id_b, band_hits) with
+    id_a < id_b. Shuffle cost: one explode to (band_id, band_key) + one
+    self-join per bucket — bounded by bucket sizes, never all-pairs."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
+    banded = df.select(F.col(key).alias("_id"), sig.alias("_sig"))
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.element_at("_sig", b * rows_per_band + i + 1)
+                            for i in range(rows_per_band)])).alias("band_key")
+        for b in range(bands)
+    ]
+    exploded = banded.select(
+        "_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (a.join(b, "band_key")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("band_hits")))
+    return pairs
+
+
+def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, key: str,
+                         text_col: str = "text", shingle_n: int = 3,
+                         threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify step after LSH).
+    Joins shingle SETS onto both sides of the pair — candidate count is small
+    after LSH so the double join broadcasts."""
+    sh = df.select(F.col(key).alias("_id"),
+                   F.array_distinct(shingles(F.col(text_col), shingle_n))
+                   .alias("_sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed("_id", "id_a")
+                 .withColumnRenamed("_sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed("_id", "id_b")
+                 .withColumnRenamed("_sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (j.withColumn("jaccard",
+                         F.when(union > 0, inter.cast("double") / union)
+                         .otherwise(F.lit(0.0)))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+@pandas_udf(LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token lists — Arrow-batched numpy, no per-row
+    Python hashing: tokens are hashed via a vectorized FNV-1a over fixed-width
+    byte views."""
+    import numpy as np
+
+    def fnv1a_batch(strs: list[str]) -> np.ndarray:
+        h = np.full(len(strs), 0xCBF29CE484222325, dtype=np.uint64)
+        if not strs:
+            return h
+        bufs = [s.encode("utf-8")[:16].ljust(16, b"\0") for s in strs]
+        mat = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(-1, 16)
+        for j in range(16):
+            h = (h ^ mat[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
+        return h
+
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = fnv1a_batch(list(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out[i] = np.int64((v > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+    return pd.Series(out)
+
+
+def simhash_dedup(df: DataFrame, key: str, text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidate pairs: 64-bit simhash split into 4 16-bit
+    bands; pairs sharing a band are verified by exact hamming distance
+    (pigeonhole: any pair with distance ≤3 shares ≥1 of 4 bands). All JVM
+    bit-ops after the Arrow-batched simhash."""
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    sh = df.select(F.col(key).alias("_id"),
+                   _simhash64(tokens_array(F.col(text_col))).alias("simhash"))
+    bands = sh.select(
+        "_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("band_val"))
+            for i in range(4)
+        ])).alias("bk"),
+    ).select("_id", "simhash", "bk.band", "bk.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_val"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -164,8 +164,18 @@ def build_index(spark: SparkSession, pages: DataFrame, io: TableIO,
     """Full build: writes documents, postings (partitioned by bucket →
     query-time partition pruning), term_stats, index_stats. Returns stats."""
     docs = canonical_documents(pages, max_bytes=max_bytes, extract=extract)
+    return build_index_from_docs(spark, docs, io, n_shards=n_shards,
+                                 n_buckets=n_buckets, block_size=block_size)
+
+
+def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
+                          n_shards: int = 8, n_buckets: int = 64,
+                          block_size: int = BLOCK_SIZE) -> dict:
+    """Build the index from an already-canonical documents DataFrame
+    (url, doc_id, text, lang, status[, ...]) — e.g. an external corpus whose
+    doc_ids must be preserved. Same artifacts as build_index."""
     io.write(docs, "documents")
-    docs = io.read("documents")  # cut lineage; single extraction pass
+    docs = io.read("documents")
     n_docs, avgdl = compute_doc_stats(docs)
     postings = build_postings(docs, avgdl, n_shards=n_shards,
                               n_buckets=n_buckets, block_size=block_size)

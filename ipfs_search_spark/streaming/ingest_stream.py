@@ -1,0 +1,66 @@
+"""Streaming ingest — the sniffer pipeline as Structured Streaming.
+
+Reference dataflow (/root/reference/components/sniffer/sniffer.go:111-128):
+DHT gossip → validity filter → 1h last-seen dedup (32768-entry in-memory map,
+pruned on overflow) → publish to the work queue. The whole goroutine+channel
+topology collapses into one streaming plan:
+
+  readStream → filter(valid) → withWatermark(warc_ts, 1h)
+             → dropDuplicatesWithinWatermark(url) → sink
+
+The watermark IS the reference's map prune (state older than the window is
+evicted by the engine); restart-on-error (sniffer.go:131-155) is the
+checkpointed query restart; bounded channels/backpressure are micro-batch
+sizing (maxOffsetsPerTrigger / maxFilesPerTrigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ipfs_search_spark import DEDUP_WINDOW
+
+URL_VALID_RE = r"^https?://[^\s]+$"
+
+
+def sniffer_stream(pages_stream: DataFrame,
+                   dedup_window: str = DEDUP_WINDOW) -> DataFrame:
+    """Apply the sniffer semantics to a streaming pages DataFrame.
+
+    - validity filter ≈ CidFilter (/root/reference/components/sniffer/
+      providerfilters/cidfilter.go:28-47): URL shape check here
+    - dedup ≈ LastSeenFilter: dropDuplicatesWithinWatermark keeps the FIRST
+      sighting per url inside the window and drops re-sightings — matching
+      the reference, which suppresses re-crawls of anything seen < 1 h ago
+    """
+    valid = pages_stream.filter(
+        F.col("url").rlike(URL_VALID_RE) & F.col("warc_ts").isNotNull())
+    return (valid
+            .withWatermark("warc_ts", dedup_window)
+            .dropDuplicatesWithinWatermark(["url"]))
+
+
+def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64):
+    """foreachBatch hook: each micro-batch of new pages is appended to the
+    documents table and its postings are built and appended as a new segment
+    (Lucene-style segment-per-flush; compaction = merge_term_shards). Returns
+    a function suitable for writeStream.foreachBatch."""
+    from ipfs_search_spark.operators.index_build import (
+        build_postings, canonical_documents, compute_doc_stats,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = canonical_documents(batch_df, extract=False)
+        io.append_atomic(docs, "documents")
+        n_docs, avgdl = compute_doc_stats(docs)
+        if n_docs == 0:
+            return
+        postings = build_postings(docs, avgdl, n_shards=n_shards,
+                                  n_buckets=n_buckets)
+        io.append_atomic(postings.withColumn("segment_id", F.lit(batch_id)),
+                         "posting_segments")
+
+    return handle
