@@ -93,7 +93,7 @@ class CheckpointedBuild:
 
 def checkpointed_postings_build(spark: SparkSession, io: TableIO,
                                 build_id: str, n_buckets: int,
-                                avgdl: float, n_shards: int = 8,
+                                n_shards: int = 8,
                                 block_size: int = 128,
                                 buckets_per_step: int = 8) -> dict:
     """Resumable postings build over the term-bucket domain.
@@ -132,10 +132,9 @@ def checkpointed_postings_build(spark: SparkSession, io: TableIO,
     def run_step(step: str) -> DataFrame:
         lo, hi = int(step.split("_")[1]), int(step.split("_")[2])
         slice_ = tokens.filter(F.col("bucket").between(lo, hi))
-        return slice_.groupBy("term", "shard").applyInPandas(
-            _make_encoder(avgdl, block_size), POSTINGS_SCHEMA)
+        return slice_.groupBy("bucket", "shard").applyInPandas(
+            _make_encoder(block_size), POSTINGS_SCHEMA)
 
     return cb.run_partitioned(steps, run_step, "postings_ckpt",
                               lineage={"build_id": build_id,
-                                       "n_buckets": n_buckets,
-                                       "avgdl": avgdl})
+                                       "n_buckets": n_buckets})

@@ -179,6 +179,68 @@ def generate_pages(
     return rows
 
 
+def _page_for_index(j: int, seed: int, vocab: list[str], langs: list[str]) -> dict:
+    """Deterministic page content for logical doc index j (content rng is
+    keyed by j alone, so duplicate sightings regenerate identical html)."""
+    rng = random.Random((seed << 32) ^ (j * 0x9E3779B9) ^ 0xA5A5A5A5)
+    sample = _zipf_sampler(rng, vocab)
+    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    url = f"https://example.org/{seed}/{j:010d}.html"
+    ts = base_ts + dt.timedelta(seconds=rng.randrange(90 * 86400))
+    lang = langs[j % len(langs)]
+    r = rng.random()
+    if r < 0.01:
+        return {"url": url, "warc_ts": ts, "lang": lang, "text": "",
+                "html": rng.choice([b"", b"  \n ", b"<html><body> </body></html>"])}
+    text = _make_text(rng, sample)
+    return {"url": url, "warc_ts": ts, "lang": lang, "text": text,
+            "html": _make_html(rng, text)}
+
+
+def pages_df_distributed(spark, n: int, seed: int = 42, n_langs: int = 3,
+                         dup_frac: float = 0.005, partitions: int | None = None):
+    """Scalable distributed corpus synthesis: spark.range(n) → mapInPandas,
+    each logical row generated from a per-index seeded RNG (order- and
+    partitioning-independent → deterministic at any parallelism). Duplicate
+    sightings reference an earlier index and regenerate ITS content, so the
+    latest-wins dedup path sees true url duplicates. This is how the bench
+    synthesizes input at scale — generation itself is a distributed job."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    langs = ["en", "de", "fr", "es", "zh"][:n_langs]
+    vocab = _vocab(max(64, int(20 * math.sqrt(n))))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng_row = random.Random((seed << 16) ^ i)
+                j = i
+                if rng_row.random() < dup_frac and i > 8:
+                    j = i - rng_row.randrange(1, 8)
+                page = _page_for_index(j, seed, vocab, langs)
+                if j != i:  # duplicate sighting at a different time
+                    page = {**page,
+                            "warc_ts": page["warc_ts"] +
+                            dt.timedelta(hours=rng_row.randrange(1, 2000))}
+                rows.append(page)
+            yield pd.DataFrame(rows)[["url", "warc_ts", "html", "text", "lang"]]
+
+    rng_parts = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(n).repartition(rng_parts).mapInPandas(gen, schema)
+
+
 def pages_df(spark, n: int = 1000, seed: int = 42, **kw):
     """Materialize the corpus as a Spark DataFrame with the input_hint schema."""
     from pyspark.sql.types import (

@@ -7,15 +7,18 @@ encode/decode used inside applyInPandas/mapInPandas workers.
 
 Format, per (term, shard):
   blocks: list of (first_doc_id:int64, n:int32, max_tf:int32,
-                   max_tfnorm:float64, doc_ids:bytes, tfs:bytes, dls:bytes)
+                   min_dl:int32, doc_ids:bytes, tfs:bytes, dls:bytes)
   - doc_ids ordered by their UNSIGNED 64-bit value (so deltas are
     non-negative even for negative xxhash64 ids); first gap is 0 relative to
     first_doc_id; varbyte(LEB128)-encoded gaps.
   - tfs / dls varbyte-encoded as-is (small positive ints).
-  - max_tfnorm = max over the block of tf/(tf + k1*(1-b+b*dl/avgdl)) — the
-    block-max used for Block-Max-WAND-style pruning (multiply by idf at query
-    time). dls ride in the postings (Lucene "norms") so scoring needs NO join
-    back to the documents table.
+  - (max_tf, min_dl) is the block-max metadata: tfnorm is increasing in tf
+    and decreasing in dl, so tfnorm(max_tf, min_dl, avgdl) bounds every
+    member's tf-normalization for ANY avgdl — the bound is computed at query
+    time with the CURRENT corpus stats, which keeps it valid under
+    incremental segment appends (a stored tfnorm would go stale as avgdl
+    drifts; Lucene stores per-doc norms for the same reason). dls ride in
+    the postings so scoring needs NO join back to the documents table.
 
 Block size 128 (BLOCK_SIZE) like Lucene's.
 """
@@ -88,17 +91,28 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf64 / (tf64 + denom)
 
 
+def block_ub(max_tf, min_dl, avgdl: float,
+             k1: float = BM25_K1, b: float = BM25_B):
+    """Upper bound of tfnorm over a block given its (max_tf, min_dl) — valid
+    because tfnorm is monotone ↑ in tf and ↓ in dl. Works elementwise on
+    numpy arrays or python scalars."""
+    import numpy as _np
+    tf64 = _np.asarray(max_tf, dtype=_np.float64)
+    denom = k1 * (1.0 - b + b * _np.asarray(min_dl, dtype=_np.float64) / avgdl)
+    return tf64 / (tf64 + denom)
+
+
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                  avgdl: float, block_size: int = BLOCK_SIZE) -> list[dict]:
+                  block_size: int = BLOCK_SIZE) -> list[dict]:
     """Encode one (term, shard) posting list, pre-sorted by unsigned doc_id.
 
-    Returns a list of block dicts matching the `postings.blocks` element
-    schema in FIXTURES.md §4 (+ dls)."""
+    Returns a list of block dicts (FIXTURES.md §4 layout, with the
+    avgdl-independent (max_tf, min_dl) bound instead of a stored score
+    hint — see module docstring)."""
     u = doc_ids.astype(np.int64).view(np.uint64)
     if u.size and not (u[:-1] <= u[1:]).all():
         order = np.argsort(u, kind="stable")
         u, tfs, dls = u[order], tfs[order], dls[order]
-    norms = tfnorm(tfs, dls, avgdl)
     blocks = []
     for s in range(0, u.size, block_size):
         e = min(s + block_size, u.size)
@@ -111,7 +125,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                                 else np.uint64(ids[0]).view(np.int64)),
             "n": int(e - s),
             "max_tf": int(tfs[s:e].max()),
-            "max_tfnorm": float(norms[s:e].max()),
+            "min_dl": int(dls[s:e].min()),
             "doc_ids": varbyte_encode(gaps),
             "tfs": varbyte_encode(tfs[s:e].astype(np.uint64)),
             "dls": varbyte_encode(dls[s:e].astype(np.uint64)),

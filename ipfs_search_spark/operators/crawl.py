@@ -1,0 +1,54 @@
+"""Crawl-frontier expansion: the reference's queue-driven directory recursion
+as an iterative DataFrame fixpoint.
+
+Reference behavior: crawling a directory streams its entries and re-enqueues
+every child onto the work queues — the recursion happens THROUGH the AMQP
+queue (/root/reference/components/crawler/crawldirectory.go:157-180, priority
+1..7 children). On Spark the "queue" is the frontier DataFrame of one
+iteration; each round expands links of the newly-discovered parents and
+anti-joins against everything already seen (J2). Iterations are plain batch
+jobs — at 100 TB each round is one explode + one anti-join, frontier size
+bounded by the web's branching, and the loop ends at a fixpoint or max_depth
+(web crawls use max_depth; the reference bounds work by queue TTL instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expand_frontier(frontier: DataFrame, links: DataFrame,
+                    seen: DataFrame) -> DataFrame:
+    """One crawl round: children of the frontier not yet seen.
+    frontier/seen: (url); links: (parent_url, child_url, name)."""
+    children = (frontier.select(F.col("url").alias("parent_url"))
+                .join(links, "parent_url")
+                .select(F.col("child_url").alias("url"),
+                        F.col("parent_url").alias("ref_parent"),
+                        F.col("name").alias("ref_name"))
+                .dropDuplicates(["url"]))
+    return children.join(seen, "url", "left_anti")
+
+
+def crawl_fixpoint(roots: DataFrame, links: DataFrame,
+                   max_depth: int = 16) -> DataFrame:
+    """Expand roots through the link graph to a fixpoint (or max_depth).
+    Returns (url, depth, ref_parent, ref_name) for every reached doc. Each
+    round's frontier is checkpoint-truncated via localCheckpoint so the plan
+    doesn't grow with depth (the iterative-algorithm pitfall)."""
+    seen = roots.select("url").withColumn("depth", F.lit(0)) \
+                .withColumn("ref_parent", F.lit(None).cast("string")) \
+                .withColumn("ref_name", F.lit(None).cast("string"))
+    frontier = seen
+    for depth in range(1, max_depth + 1):
+        nxt = expand_frontier(frontier.select("url"), links,
+                              seen.select("url"))
+        nxt = nxt.withColumn("depth", F.lit(depth)) \
+                 .select("url", "depth", "ref_parent", "ref_name") \
+                 .localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return seen

@@ -50,15 +50,24 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
     id_a < id_b. Shuffle cost: one explode to (band_id, band_key) + one
     self-join per bucket — bounded by bucket sizes, never all-pairs."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
-    banded = df.select(F.col(key).alias("_id"), sig.alias("_sig"))
+    # One explode pass: shingle rows → per-seed md5 → map-side-combinable
+    # min aggs. (A nested-array formulation re-evaluates the shingle
+    # expression once per signature slot under Catalyst projection collapse —
+    # O(n_hashes×bands) recomputation; the explode+groupBy shape computes
+    # each shingle hash exactly once and scales to any corpus.)
+    sh = df.select(F.col(key).alias("_id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    sig = sh.groupBy("_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_sh")))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ])
     band_cols = [
         F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.element_at("_sig", b * rows_per_band + i + 1)
+                          *[F.col(f"_h{b * rows_per_band + i}")
                             for i in range(rows_per_band)])).alias("band_key")
         for b in range(bands)
     ]
-    exploded = banded.select(
+    exploded = sig.select(
         "_id", F.explode(F.array(*band_cols)).alias("band_key"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -74,21 +83,32 @@ def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, key: str,
                          text_col: str = "text", shingle_n: int = 3,
                          threshold: float = 0.7) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify step after LSH).
-    Joins shingle SETS onto both sides of the pair — candidate count is small
-    after LSH so the double join broadcasts."""
-    sh = df.select(F.col(key).alias("_id"),
-                   F.array_distinct(shingles(F.col(text_col), shingle_n))
-                   .alias("_sh"))
-    j = (pairs
-         .join(sh.withColumnRenamed("_id", "id_a")
-                 .withColumnRenamed("_sh", "sh_a"), "id_a")
-         .join(sh.withColumnRenamed("_id", "id_b")
-                 .withColumnRenamed("_sh", "sh_b"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (j.withColumn("jaccard",
-                         F.when(union > 0, inter.cast("double") / union)
-                         .otherwise(F.lit(0.0)))
+
+    Relational form: distinct shingle rows join the pair list on (id, shingle)
+    — intersection is a count, union is |A|+|B|−∩. No array columns ship
+    through the shuffle, everything stays in whole-stage codegen, and the
+    intersect work is proportional to matches, not |A|×|B|."""
+    sh = df.select(
+        F.col(key).alias("_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n)))
+        .alias("_sh"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (pairs.select("id_a", "id_b")
+             .join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+             .join(sh.select(F.col("_id").alias("id_b"), "_sh"),
+                   ["id_b", "_sh"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("_inter")))
+    j = (pairs.join(inter, ["id_a", "id_b"], "left")
+         .na.fill({"_inter": 0})
+         .join(sizes.select(F.col("_id").alias("id_a"),
+                            F.col("_sz").alias("_sza")), "id_a")
+         .join(sizes.select(F.col("_id").alias("id_b"),
+                            F.col("_sz").alias("_szb")), "id_b"))
+    union = F.col("_sza") + F.col("_szb") - F.col("_inter")
+    jac = F.when(union > 0,
+                 F.col("_inter").cast("double") / union).otherwise(F.lit(0.0))
+    return (j.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 

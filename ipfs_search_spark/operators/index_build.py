@@ -44,7 +44,7 @@ BLOCK_SCHEMA = StructType([
     StructField("first_doc_id", LongType()),
     StructField("n", IntegerType()),
     StructField("max_tf", IntegerType()),
-    StructField("max_tfnorm", DoubleType()),
+    StructField("min_dl", IntegerType()),
     StructField("doc_ids", BinaryType()),
     StructField("tfs", BinaryType()),
     StructField("dls", BinaryType()),
@@ -80,11 +80,20 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
     doc_id = xxhash64(url) — deterministic, join-free, collision odds ~n²/2⁶⁵
     (≈5e-6 at 10^9 docs). first/last_seen truncated to seconds like the
     reference (/root/reference/components/crawler/index.go:20-24)."""
-    seen = pages.groupBy("url").agg(
-        F.date_trunc("second", F.min("warc_ts")).alias("first_seen"),
-        F.date_trunc("second", F.max("warc_ts")).alias("last_seen"),
-    )
-    latest = latest_pages(pages)
+    from pyspark.sql import Window
+    # Single pass over the input: first/last_seen window aggs share the same
+    # url-partitioning as the latest-wins ranking, so the whole dedup+seen
+    # computation is ONE shuffle and ONE scan of pages (at 100 TB the input
+    # scan dominates — the old two-branch + join shape read it twice).
+    wp = Window.partitionBy("url")
+    wo = wp.orderBy(F.desc("warc_ts"), F.desc(F.xxhash64("html")))
+    latest = (pages
+              .withColumn("first_seen",
+                          F.date_trunc("second", F.min("warc_ts").over(wp)))
+              .withColumn("last_seen",
+                          F.date_trunc("second", F.max("warc_ts").over(wp)))
+              .withColumn("_rn", F.row_number().over(wo))
+              .filter(F.col("_rn") == 1).drop("_rn"))
     if extract:
         latest = with_extracted_text(
             latest.drop("text"), max_bytes=max_bytes, status_col="status")
@@ -95,42 +104,72 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
             .when(F.coalesce(F.length("html"), F.lit(0)) == 0, F.lit("partial"))
             .otherwise(F.lit("ok")),
         )
-    docs = (latest.join(seen, "url")
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    # dl (BM25 doc length) is computed HERE, in the same pass that writes the
+    # documents table — corpus stats (N, avgdl) then cost one trivial agg of
+    # a stored column instead of a full re-tokenize pass over the text.
+    return (latest
             .withColumn("doc_id", F.xxhash64("url"))
             .withColumn("size", F.length("html").cast("long"))
+            .withColumn("dl", F.when(F.col("status") == "ok",
+                                     F.size(tokens_array(F.col("text"))))
+                        .otherwise(F.lit(0)).cast("int"))
             .select("url", "doc_id", "first_seen", "last_seen", "size",
-                    "text", "lang", "status"))
-    return docs
+                    "text", "lang", "status", "dl"))
 
 
-def _make_encoder(avgdl: float, block_size: int):
+def _make_encoder(block_size: int):
+    """Encoder for one (bucket, shard) group: MANY terms per pandas group so
+    the per-group applyInPandas overhead amortizes (one group per
+    bucket×shard cell instead of one per term — 512 groups instead of
+    |vocab|×shards). Emits one postings row per term."""
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         from ipfs_search_spark.functions.codec import encode_blocks
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids.view(np.uint64), kind="stable")
-        blocks = encode_blocks(ids[order], tfs[order], dls[order],
-                               avgdl=avgdl, block_size=block_size)
+        terms_arr = pdf["term"].to_numpy()
+        ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
+        dls_all = pdf["dl"].to_numpy(dtype=np.int64)
+        # one vectorized sort by (term, unsigned doc_id) segments the group
+        order = np.lexsort((ids_all.view(np.uint64), terms_arr))
+        terms_arr = terms_arr[order]
+        ids_all, tfs_all, dls_all = (ids_all[order], tfs_all[order],
+                                     dls_all[order])
+        seg = np.flatnonzero(np.concatenate(
+            ([True], terms_arr[1:] != terms_arr[:-1])))
+        bounds = np.append(seg, terms_arr.size)
+        out_terms, out_df, out_cf, out_blocks = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out_terms.append(terms_arr[s])
+            out_df.append(int(e - s))
+            out_cf.append(int(tfs_all[s:e].sum()))
+            out_blocks.append(encode_blocks(
+                ids_all[s:e], tfs_all[s:e], dls_all[s:e],
+                block_size=block_size))
+        n = len(out_terms)
         return pd.DataFrame({
-            "term": [pdf["term"].iloc[0]],
-            "shard": [int(pdf["shard"].iloc[0])],
-            "bucket": [int(pdf["bucket"].iloc[0])],
-            "df_part": [int(len(ids))],
-            "cf_part": [int(tfs.sum())],
-            "blocks": [blocks],
+            "term": out_terms,
+            "shard": [int(pdf["shard"].iloc[0])] * n,
+            "bucket": [int(pdf["bucket"].iloc[0])] * n,
+            "df_part": out_df,
+            "cf_part": out_cf,
+            "blocks": out_blocks,
         })
     return encode_group
 
 
 def compute_doc_stats(docs: DataFrame) -> tuple[int, float]:
-    """Exact N and avgdl over indexable docs (dl > 0). One tiny agg; the dl
-    column is counted JVM-side from the token array (no Python). Identity-path
+    """Exact N and avgdl over indexable docs (dl > 0). When the documents
+    table carries the stored `dl` column (canonical_documents writes it),
+    this is a trivial column agg — no re-tokenize pass. Identity-path
     exactness — no sketches (SURVEY.md §7 hard part 2)."""
-    from ipfs_search_spark.functions.tokenize import tokens_array
+    if "dl" in docs.columns:
+        dl = F.col("dl")
+    else:
+        from ipfs_search_spark.functions.tokenize import tokens_array
+        dl = F.size(tokens_array(F.col("text")))
     row = (docs.filter(F.col("status") == "ok")
-           .select(F.size(tokens_array(F.col("text"))).alias("dl"))
+           .select(dl.alias("dl"))
            .filter(F.col("dl") > 0)
            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
            .collect()[0])
@@ -138,12 +177,13 @@ def compute_doc_stats(docs: DataFrame) -> tuple[int, float]:
     return n, (float(row["sdl"]) / n if n else 0.0)
 
 
-def build_postings(docs: DataFrame, avgdl: float, n_shards: int = 8,
+def build_postings(docs: DataFrame, n_shards: int = 8,
                    n_buckets: int = 64, block_size: int = BLOCK_SIZE,
                    lang_aware: bool = False) -> DataFrame:
     """tokens → encoded postings. The groupBy(term, shard) is THE big shuffle
     of the build; partial aggregation of tf happens map-side in doc_tokens'
-    hash agg, so shuffle rows are (doc, term) pairs, not raw tokens."""
+    hash agg, so shuffle rows are (doc, term) pairs, not raw tokens. No
+    corpus stats needed — block-max metadata is avgdl-independent."""
     ok = docs.filter(F.col("status") == "ok")
     tokens = doc_tokens(ok, doc_col="doc_id", text_col="text",
                         lang_col="lang" if lang_aware else None)
@@ -152,8 +192,8 @@ def build_postings(docs: DataFrame, avgdl: float, n_shards: int = 8,
     ).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
-    return sharded.groupBy("term", "shard").applyInPandas(
-        _make_encoder(avgdl, block_size), POSTINGS_SCHEMA)
+    return sharded.groupBy("bucket", "shard").applyInPandas(
+        _make_encoder(block_size), POSTINGS_SCHEMA)
 
 
 def build_index(spark: SparkSession, pages: DataFrame, io: TableIO,
@@ -177,7 +217,7 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     io.write(docs, "documents")
     docs = io.read("documents")
     n_docs, avgdl = compute_doc_stats(docs)
-    postings = build_postings(docs, avgdl, n_shards=n_shards,
+    postings = build_postings(docs, n_shards=n_shards,
                               n_buckets=n_buckets, block_size=block_size)
     io.write(postings, "postings", partition_by=["bucket"])
     postings = io.read("postings")
@@ -198,7 +238,7 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
             "n_buckets": n_buckets}
 
 
-def merge_term_shards(postings: DataFrame, avgdl: float,
+def merge_term_shards(postings: DataFrame,
                       block_size: int = BLOCK_SIZE) -> DataFrame:
     """Compaction: k-way merge per-shard runs → one global docid-sorted
     posting list per term (single-segment layout, FIXTURES.md §4). Second
@@ -218,8 +258,7 @@ def merge_term_shards(postings: DataFrame, avgdl: float,
                 runs.append((np.concatenate(ids_l), np.concatenate(tfs_l),
                              np.concatenate(dls_l)))
         ids, tfs, dls = merge_sorted_runs(runs)
-        blocks = encode_blocks(ids, tfs, dls, avgdl=avgdl,
-                               block_size=block_size)
+        blocks = encode_blocks(ids, tfs, dls, block_size=block_size)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
             "shard": [-1],

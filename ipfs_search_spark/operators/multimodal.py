@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -67,6 +68,52 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob",
             })
 
     return df.select(url_col, blob_col).mapInPandas(gen, IMAGE_META_SCHEMA)
+
+
+COMPATIBLE_MIME_RE = r"^image/(jpeg|png|gif|bmp|webp)"
+
+
+def mime_gate(df: DataFrame, content_type_col: str,
+              pattern: str = COMPATIBLE_MIME_RE) -> DataFrame:
+    """Content-Type gate for media enrichment — the reference's NSFW
+    classifier only runs on images matching a MIME regex
+    (/root/reference/components/extractor/nsfw/extractor.go:56-77). JVM-side
+    rlike so Catalyst can push it before any Python stage."""
+    return df.filter(F_col(content_type_col).rlike(pattern))
+
+
+def classify_nsfw_stub(df: DataFrame, blob_col: str = "blob",
+                       url_col: str = "url") -> DataFrame:
+    """NSFW classification plumbing (reference nsfw/extractor.go:81-118):
+    deterministic fake scores derived from blob bytes — the real model hook
+    replaces `_fake_scores`. Output mirrors the reference's NSFW struct
+    (classes drawing/hentai/neutral/porn/sexy, types/nfsw.go:4-17)."""
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("drawing", DoubleType()),
+        StructField("hentai", DoubleType()),
+        StructField("neutral", DoubleType()),
+        StructField("porn", DoubleType()),
+        StructField("sexy", DoubleType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": pdf[url_col].astype(str), "drawing": [],
+                    "hentai": [], "neutral": [], "porn": [], "sexy": []}
+            for b in pdf[blob_col]:
+                b = bytes(b) if b is not None else b""
+                h = sum(b[:64]) % 1000 / 1000.0
+                rows["drawing"].append(round(h * 0.1, 6))
+                rows["hentai"].append(round(h * 0.05, 6))
+                rows["neutral"].append(round(1.0 - h * 0.3, 6))
+                rows["porn"].append(round(h * 0.1, 6))
+                rows["sexy"].append(round(h * 0.05, 6))
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, blob_col).mapInPandas(gen, schema)
 
 
 def frame_sample_plan(df: DataFrame, blob_col: str = "blob",

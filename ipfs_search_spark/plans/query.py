@@ -21,7 +21,8 @@ oracle.py, so scores are bit-comparable (SURVEY.md §7 hard part 2).
 Block-max pruning (sound, never changes results — test-asserted):
   θ = k-th best single-term score of the highest-idf term within the shard
   (a valid lower bound on the shard's k-th best total). A block B of term t
-  is skipped iff idf_t·max_tfnorm(B) + Σ_{t'≠t} idf_{t'}·max_tfnorm(t') < θ:
+  is skipped iff idf_t·ub(B) + Σ_{t'≠t} idf_{t'}·ub(t') < θ, where
+  ub = tfnorm(max_tf, min_dl, avgdl) is the avgdl-at-query-time block bound:
   every doc in B then has total score < θ and cannot reach the top-k.
 """
 
@@ -54,7 +55,9 @@ def idf(n_docs: int, df: int) -> float:
 def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        from ipfs_search_spark.functions.codec import decode_block, tfnorm
+        from ipfs_search_spark.functions.codec import (
+            block_ub, decode_block, tfnorm,
+        )
 
         qid = int(pdf["query_id"].iloc[0])
         pdf = pdf.sort_values("term", kind="stable")
@@ -62,7 +65,8 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
         avgdl = float(pdf["avgdl"].iloc[0])
         idfs = pdf["idf"].to_numpy(dtype=np.float64)
         term_max_ub = np.array(
-            [i * max((b["max_tfnorm"] for b in blks), default=0.0)
+            [i * max((float(block_ub(b["max_tf"], b["min_dl"], avgdl))
+                      for b in blks), default=0.0)
              for i, blks in zip(idfs, pdf["blocks"])], dtype=np.float64)
 
         theta = 0.0
@@ -90,7 +94,9 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
                 continue
             others_ub = float(term_max_ub.sum() - term_max_ub[row_i])
             for blk in blocks:
-                if theta > 0.0 and t_idf * blk["max_tfnorm"] + others_ub < theta:
+                if theta > 0.0 and t_idf * float(
+                        block_ub(blk["max_tf"], blk["min_dl"], avgdl)
+                ) + others_ub < theta:
                     continue
                 ids_b, tfs_b, dls_b = decode_block(blk)
                 ids_parts.append(ids_b)
@@ -127,12 +133,34 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
     return score_shard
 
 
+class Searcher:
+    """Reusable query handle: caches the (tiny, static) index_stats and the
+    postings/term_stats/documents DataFrames so repeated queries skip the
+    per-call setup jobs. `search()` below is the one-shot convenience form."""
+
+    def __init__(self, spark: SparkSession, io: TableIO):
+        self.spark, self.io = spark, io
+        row = io.read("index_stats").collect()[0]
+        self.n_docs, self.avgdl = int(row["n_docs"]), float(row["avgdl"])
+        self.term_stats = io.read("term_stats")
+        self.postings = io.read("postings")
+        self.documents = io.read("documents")
+
+    def search(self, queries: list, k: int = 10, mode: str = "or",
+               prune: bool = True) -> DataFrame:
+        return _search_impl(self.spark, self, queries, k, mode, prune)
+
+
 def search(spark: SparkSession, io: TableIO, queries: list,
            k: int = 10, mode: str = "or", prune: bool = True) -> DataFrame:
     """queries: list of (query_id:int, query_string) → DataFrame
     (query_id, rank, doc_id, url, score), rank 1..k, ties by doc_id asc."""
-    stats = io.read("index_stats").collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    return Searcher(spark, io).search(queries, k=k, mode=mode, prune=prune)
+
+
+def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
+                 k: int, mode: str, prune: bool) -> DataFrame:
+    n_docs, avgdl = sx.n_docs, sx.avgdl
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
@@ -143,7 +171,7 @@ def search(spark: SparkSession, io: TableIO, queries: list,
             [], "query_id int, rank int, doc_id long, url string, score double")
 
     tstats = {r["term"]: (int(r["df"]), int(r["bucket"]))
-              for r in io.read("term_stats")
+              for r in sx.term_stats
               .filter(F.col("term").isin(all_terms)).collect()}
 
     qterm_rows, qmeta = [], []
@@ -164,7 +192,7 @@ def search(spark: SparkSession, io: TableIO, queries: list,
 
     qterms = spark.createDataFrame(
         qterm_rows, "query_id int, term string, idf double, neg boolean")
-    postings = (io.read("postings")
+    postings = (sx.postings
                 .filter(F.col("bucket").isin(buckets) &
                         F.col("term").isin(live_terms)))
     probe = postings.join(F.broadcast(qterms), "term").withColumn(
@@ -186,7 +214,7 @@ def search(spark: SparkSession, io: TableIO, queries: list,
         candidates = candidates.join(neg_docs, ["query_id", "doc_id"],
                                      "left_anti")
 
-    docs = io.read("documents")
+    docs = sx.documents
     if has_filters:
         flt_df = None
         for qid, p in parsed.items():

@@ -55,10 +55,10 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64):
             return
         docs = canonical_documents(batch_df, extract=False)
         io.append_atomic(docs, "documents")
-        n_docs, avgdl = compute_doc_stats(docs)
+        n_docs, _ = compute_doc_stats(docs)
         if n_docs == 0:
             return
-        postings = build_postings(docs, avgdl, n_shards=n_shards,
+        postings = build_postings(docs, n_shards=n_shards,
                                   n_buckets=n_buckets)
         io.append_atomic(postings.withColumn("segment_id", F.lit(batch_id)),
                          "posting_segments")

@@ -37,7 +37,7 @@ def test_block_roundtrip(n):
     ids = ids[order]
     tfs = rng.integers(1, 100, size=ids.size, dtype=np.int64)
     dls = rng.integers(1, 1000, size=ids.size, dtype=np.int64)
-    blocks = encode_blocks(ids, tfs, dls, avgdl=50.0, block_size=128)
+    blocks = encode_blocks(ids, tfs, dls, block_size=128)
     assert len(blocks) == -(-ids.size // 128)
     di, dt, dd = zip(*(decode_block(b) for b in blocks))
     assert (np.concatenate(di) == ids).all()
@@ -53,10 +53,13 @@ def test_blockmax_metadata():
     tfs = np.ones(300, dtype=np.int64)
     tfs[5] = 50  # spike in block 0
     dls = np.full(300, 100, dtype=np.int64)
-    blocks = encode_blocks(ids, tfs, dls, avgdl=100.0, block_size=128)
+    blocks = encode_blocks(ids, tfs, dls, block_size=128)
     assert blocks[0]["max_tf"] == 50
     assert blocks[1]["max_tf"] == 1
-    assert blocks[0]["max_tfnorm"] > blocks[1]["max_tfnorm"]
+    assert blocks[0]["min_dl"] == 100
+    from ipfs_search_spark.functions.codec import block_ub
+    assert block_ub(blocks[0]["max_tf"], blocks[0]["min_dl"], 100.0) > \
+        block_ub(blocks[1]["max_tf"], blocks[1]["min_dl"], 100.0)
 
 
 def test_merge_runs_interleaved():

@@ -1,0 +1,113 @@
+"""Dedup family + ANN similarity: recall on planted near-duplicates, LSH vs
+brute-force agreement."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ipfs_search_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_verify, simhash_dedup,
+)
+from ipfs_search_spark.operators.similarity import (
+    add_lsh_buckets, brute_force_topk, cosine_neardup_pairs, lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 base docs + near-dup copies of the first 10 (one word changed) +
+    exact dups of 5."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(60):
+        words = [vocab[rng.randrange(50)] for _ in range(40)]
+        rows.append((i, " ".join(words)))
+    for i in range(10):  # near-dups
+        words = rows[i][1].split()
+        words[3] = "changed"
+        rows.append((1000 + i, " ".join(words)))
+    for i in range(5):  # exact dups
+        rows.append((2000 + i, rows[i][1]))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    out = exact_dedup(corpus, "id", "text")
+    dups = out.filter(~F.col("is_keeper")).collect()
+    assert {r["id"] for r in dups} == {2000 + i for i in range(5)}
+    assert all(r["keeper_id"] == r["id"] - 2000 for r in dups)
+
+
+def test_minhash_lsh_recall(spark, corpus):
+    pairs = minhash_lsh_pairs(corpus, "id", "text", n_hashes=8, bands=4)
+    verified = ngram_jaccard_verify(corpus, pairs, "id", "text",
+                                    threshold=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    # every planted near-dup pair must be found (LSH recall on 0.9-jaccard
+    # pairs with 4 bands x 2 rows is ~1-(1-.9^2)^4 ≈ 0.999 per band set;
+    # exact dups always collide)
+    for i in range(5):
+        assert (i, 2000 + i) in got
+    found_near = sum((i, 1000 + i) in got for i in range(10))
+    assert found_near >= 8
+
+
+def test_simhash_neardup(spark, corpus):
+    pairs = simhash_dedup(corpus, "id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):  # exact dups: hamming 0
+        assert (i, 2000 + i) in got
+    hams = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_dedup(corpus, "id", "text", 64).collect()}
+    assert all(h == 0 for (a, b), h in hams.items() if b == a + 2000)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    import random
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v], i % 5))
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_self_is_best(spark, vectors):
+    q = [float(x) for x in
+         vectors.filter("vec_id = 7").collect()[0]["embedding"]]
+    top = brute_force_topk(vectors, q, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cosine"] - 1.0) < 1e-5
+    assert all(top[i]["cosine"] >= top[i + 1]["cosine"] for i in range(4))
+
+
+def test_lsh_topk_recall(spark, vectors):
+    dim = 16
+    bucketed = add_lsh_buckets(vectors, dim, n_planes=6).cache()
+    n_buckets = bucketed.select("lsh_bucket").distinct().count()
+    assert n_buckets > 8  # buckets actually spread
+    hits = 0
+    for qid in [3, 50, 120]:
+        q = [float(x) for x in
+             vectors.filter(f"vec_id = {qid}").collect()[0]["embedding"]]
+        brute = [r["vec_id"] for r in brute_force_topk(vectors, q, 5).collect()]
+        approx = [r["vec_id"] for r in
+                  lsh_topk(bucketed, q, 5, dim=dim, n_planes=6,
+                           n_probe_hamming=2).collect()]
+        hits += len(set(brute) & set(approx))
+    assert hits >= 9  # ≥60% recall@5 with 2-probe on random gaussians
+
+
+def test_cosine_neardup_blocked(spark, vectors):
+    # plant a duplicate vector in the same label block
+    dup = vectors.filter("vec_id = 0").select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label")
+    df = vectors.unionByName(dup)
+    pairs = cosine_neardup_pairs(df, "label", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 9000) in got

@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: these assert the plan SHAPE, not just results
+— a regression that silently de-optimizes (lost pushdown, lost broadcast,
+Python in the hot path) fails here even while results stay correct."""
+
+import pyspark.sql.functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_postings_scan_is_pruned(spark, built_index):
+    """The query-side postings scan must push bucket+term filters down to the
+    parquet source (partition-dir pruning on bucket, row-group stats on term)
+    — never a full index scan."""
+    io, _ = built_index
+    postings = io.read("postings").filter(
+        (F.col("bucket") == 3) & F.col("term").isin(["data", "spark"]))
+    plan = _plan(postings)
+    assert "PushedFilters:" in plan
+    assert "term" in plan.split("PushedFilters:")[1][:300]
+    # bucket is a hive-partition column of the local layout → partition filter
+    assert "PartitionFilters:" in plan
+
+
+def test_query_probe_broadcasts_small_side(spark, built_index):
+    """Query terms (tiny) must broadcast onto postings — a shuffled join here
+    would reshuffle the index per query."""
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    df = search(spark, io, [(0, "data spark")], k=5)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_documents_scan_prunes_columns(spark, built_index):
+    """Column pruning: a 2-column projection must not read the full schema."""
+    io, _ = built_index
+    df = io.read("documents").select("doc_id", "url")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # the big column stays unread
+
+
+def test_tokenize_path_is_wholestage_codegen(spark, built_index):
+    """The tokenize→tf pipeline must stay inside WholeStageCodegen with no
+    Python evaluation nodes (BatchEvalPython/ArrowEvalPython)."""
+    from ipfs_search_spark.functions.tokenize import doc_tokens
+    io, _ = built_index
+    toks = doc_tokens(io.read("documents").filter("status = 'ok'"))
+    plan = _plan(toks)
+    # pure JVM pipeline: no Python evaluation nodes anywhere, map-side
+    # partial aggregation before the exchange (AQE hides WholeStageCodegen
+    # spans in the pre-execution formatted plan, so assert structure instead)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange") or \
+        "partial_count" in plan.split("Exchange")[0]
+
+
+def test_brute_topk_is_take_ordered(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject (distributed
+    per-partition heaps), not a global Sort."""
+    from ipfs_search_spark.operators.similarity import brute_force_topk
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    top = brute_force_topk(df, [1.0, 0.5], k=5)
+    assert "TakeOrderedAndProject" in _plan(top)
+
+
+def test_extract_is_arrow_batched(spark, pages):
+    """Extraction must run as ArrowEvalPython (pandas UDF), never
+    BatchEvalPython (row-at-a-time pickling)."""
+    from ipfs_search_spark.functions.extract import with_extracted_text
+    out = with_extracted_text(pages.drop("text"), max_bytes=1 << 15,
+                              status_col="status")
+    plan = _plan(out)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
