@@ -219,6 +219,10 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     n_docs, avgdl = compute_doc_stats(docs)
     postings = build_postings(docs, n_shards=n_shards,
                               n_buckets=n_buckets, block_size=block_size)
+    # co-locate each bucket into one task before the partitioned write: one
+    # output file per bucket instead of (tasks × buckets) fragments — the
+    # commit protocol's file-listing/rename cost is serial on the driver
+    postings = postings.repartition(n_buckets, "bucket")
     io.write(postings, "postings", partition_by=["bucket"])
     postings = io.read("postings")
     term_stats = postings.groupBy("term").agg(

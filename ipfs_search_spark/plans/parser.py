@@ -21,6 +21,14 @@ from dataclasses import dataclass, field
 
 from ipfs_search_spark.functions.tokenize import tokenize_str
 
+_CJK_ANY_RE = re.compile(r"[一-鿿]")
+
+
+def _analyze(tok: str) -> list[str]:
+    """Query-side analyzer: CJK-containing tokens take the CJK branch (same
+    analyzer the lang-aware index build used for zh docs)."""
+    return tokenize_str(tok, "zh" if _CJK_ANY_RE.search(tok) else "en")
+
 _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
                   "first-seen", "first_seen", "size"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
@@ -52,7 +60,7 @@ def parse_query(q: str, mode: str = "or") -> Query:
         neg = raw.startswith("-") and len(raw) > 1
         tok = raw[1:] if neg else raw
         if tok.startswith('"') and tok.endswith('"'):
-            terms = tokenize_str(tok[1:-1])
+            terms = _analyze(tok[1:-1])
             (out.not_terms if neg else out.terms).extend(terms)
             continue
         if ":" in tok:
@@ -65,7 +73,7 @@ def parse_query(q: str, mode: str = "or") -> Query:
                         break
                 out.filters.append(Filter(_norm_field(fld.lower()), op, val))
                 continue
-        terms = tokenize_str(tok)
+        terms = _analyze(tok)
         (out.not_terms if neg else out.terms).extend(terms)
     out.terms = sorted(set(out.terms))
     out.not_terms = sorted(set(out.not_terms) - set(out.terms))
