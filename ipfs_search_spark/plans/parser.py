@@ -80,8 +80,18 @@ def parse_query(q: str, mode: str = "or") -> Query:
     return out
 
 
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+class QueryParseError(ValueError):
+    """Malformed filter value in a user query string."""
+
+
 def filter_to_sql(flt: Filter) -> str:
-    """Render one filter as a Spark SQL predicate over the documents table."""
+    """Render one filter as a Spark SQL predicate over the documents table.
+    Values are validated/escaped — user query strings must never inject SQL
+    expressions (size:>abc would otherwise reach Catalyst as a column ref)."""
     fld = flt.field
     if fld in ("last_seen", "first_seen"):
         m = _REL_RE.match(flt.value)
@@ -90,9 +100,16 @@ def filter_to_sql(flt: Filter) -> str:
             iv = {"d": "DAYS", "h": "HOURS", "M": "DAYS", "y": "DAYS"}[unit]
             mult = {"d": 1, "h": 1, "M": 30, "y": 365}[unit]
             rhs = f"current_timestamp() - INTERVAL {n * mult} {iv}"
-        else:
+        elif _TS_RE.match(flt.value):
             rhs = f"timestamp'{flt.value}'"
+        else:
+            raise QueryParseError(
+                f"invalid {fld} filter value {flt.value!r}: expected "
+                "now-<n><d|h|M|y> or YYYY-MM-DD[ HH:MM[:SS]]")
     elif fld == "size":
+        if not _INT_RE.match(flt.value):
+            raise QueryParseError(
+                f"invalid size filter value {flt.value!r}: expected integer")
         rhs = flt.value
     else:
         rhs = "'" + flt.value.replace("'", "''") + "'"
