@@ -242,6 +242,65 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
             "n_buckets": n_buckets}
 
 
+def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
+                        fields: dict, n_shards: int = 8, n_buckets: int = 64,
+                        block_size: int = BLOCK_SIZE) -> dict:
+    """Multi-field index — the reference's default_field surface: OpenSearch
+    searches 15 analyzed fields per query_string
+    (/root/reference/docs/indices/files.json:10-37). Posting keys are
+    Lucene-style "field:term" strings, so every downstream component
+    (sharding, encoding, bucket pruning, term_stats) is reused unchanged.
+    Per-field corpus stats (n_docs, avgdl — Lucene computes BM25 per field)
+    land in `field_stats`.
+
+    docs: canonical documents plus one text column per field;
+    fields: {field_name: text_column}."""
+    from ipfs_search_spark.functions.tokenize import tokens_array
+
+    io.write(docs, "documents")
+    docs = io.read("documents")
+    ok = docs.filter(F.col("status") == "ok")
+
+    tokens = None
+    fstats_rows = []
+    for fld, col in sorted(fields.items()):
+        t = doc_tokens(ok, doc_col="doc_id", text_col=col)
+        t = t.select("doc_id", "dl",
+                     F.concat(F.lit(fld + ":"), F.col("term")).alias("term"),
+                     "tf")
+        tokens = t if tokens is None else tokens.unionByName(t)
+        frow = (ok.select(F.size(tokens_array(F.col(col))).alias("dl"))
+                .filter(F.col("dl") > 0)
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+                .collect()[0])
+        nf = int(frow["n"])
+        fstats_rows.append((fld, nf, float(frow["s"]) / nf if nf else 0.0))
+
+    sharded = tokens.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    postings = sharded.groupBy("bucket", "shard").applyInPandas(
+        _make_encoder(block_size), POSTINGS_SCHEMA)
+    postings = postings.repartition(n_buckets, "bucket")
+    io.write(postings, "postings", partition_by=["bucket"])
+    postings = io.read("postings")
+    io.write(postings.groupBy("term").agg(
+        F.first("bucket").alias("bucket"),
+        F.sum("df_part").alias("df"),
+        F.sum("cf_part").alias("cf")), "term_stats")
+    io.write(spark.createDataFrame(fstats_rows,
+                                   "field string, n_docs long, avgdl double"),
+             "field_stats")
+    n_docs = ok.count()
+    io.write(spark.createDataFrame(
+        [(n_docs, 0.0, n_shards, n_buckets, block_size)],
+        "n_docs long, avgdl double, n_shards int, n_buckets int, "
+        "block_size int"), "index_stats")
+    return {"n_docs": n_docs,
+            "fields": {f: (n, a) for f, n, a in fstats_rows}}
+
+
 def merge_term_shards(postings: DataFrame,
                       block_size: int = BLOCK_SIZE) -> DataFrame:
     """Compaction: k-way merge per-shard runs → one global docid-sorted

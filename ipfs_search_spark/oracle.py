@@ -75,3 +75,62 @@ class BM25Oracle:
             hits.append((key, self.score(key, uniq)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
+
+
+class BM25FOracle:
+    """Multi-field ground truth: one BM25Oracle per field (Lucene scores
+    each field with its own df/N/avgdl), combined per base term by
+    'max' (OpenSearch query_string best_fields/dis_max default) or 'sum'
+    (BM25F-lite), each field weighted by its boost. Per-doc totals sum over
+    base terms in ascending order; within a term, fields are visited in
+    ascending "field:term" order (the engine's fielded-term sort) so float
+    op order matches bit-for-bit."""
+
+    def __init__(self, field_docs: dict, k1: float = BM25_K1,
+                 b: float = BM25_B):
+        """field_docs: {field_name: {doc_key: text}}"""
+        self.oracles = {f: BM25Oracle(d, k1, b)
+                        for f, d in field_docs.items()}
+
+    def score(self, key, terms: list[str], boosts: dict,
+              combine: str = "max") -> float:
+        total = 0.0
+        for t in sorted(set(terms)):
+            contribs = []
+            for fld in sorted(boosts, key=lambda f: f"{f}:{t}"):
+                o = self.oracles[fld]
+                if key in o.tf and t in o.tf[key]:
+                    contribs.append(boosts[fld] * o.idf(t) *
+                                    (o.tf[key][t] /
+                                     (o.tf[key][t] + o.k1 *
+                                      (1.0 - o.b + o.b * o.dl[key] /
+                                       o.avgdl))))
+            if not contribs:
+                continue
+            if combine == "max":
+                total += max(contribs)
+            else:
+                s = 0.0
+                for c in contribs:
+                    s += c
+                total += s
+        return total
+
+    def search(self, terms: list[str], boosts: dict, k: int = 10,
+               combine: str = "max", mode: str = "or") -> list[tuple]:
+        keys = set()
+        for o in self.oracles.values():
+            keys |= set(o.tf)
+        uniq = sorted(set(terms))
+        hits = []
+        for key in keys:
+            present = [t for t in uniq
+                       if any(key in o.tf and t in o.tf[key]
+                              for o in self.oracles.values())]
+            if not present:
+                continue
+            if mode == "and" and len(present) != len(uniq):
+                continue
+            hits.append((key, self.score(key, uniq, boosts, combine)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

@@ -52,7 +52,17 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
+def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
+                 combine: str = "sum"):
+    """Scorer for one (query, shard) group.
+
+    Rows are (possibly fielded) posting lists: each carries idf, boost,
+    avgdl (per-field), and a `group` id — the base query term the row
+    belongs to. Per doc: contributions are reduced WITHIN a group
+    (max → OpenSearch best_fields/dis_max; sum → BM25F-lite) and then
+    summed across groups in ascending group order (float-deterministic,
+    matching the oracle). Single-field indexes have one row per group, so
+    both combines degenerate to the original exact BM25 sum."""
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         from ipfs_search_spark.functions.codec import (
@@ -61,47 +71,69 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
 
         qid = int(pdf["query_id"].iloc[0])
         pdf = pdf.sort_values("term", kind="stable")
-        n_terms = len(pdf)
-        avgdl = float(pdf["avgdl"].iloc[0])
-        idfs = pdf["idf"].to_numpy(dtype=np.float64)
+        n_rows = len(pdf)
+        avgdls = pdf["avgdl"].to_numpy(dtype=np.float64)
+        idfs = pdf["idf"].to_numpy(dtype=np.float64) * \
+            pdf["boost"].to_numpy(dtype=np.float64)
+        groups_sorted = sorted(set(pdf["group"]))
+        group_of = {g: i for i, g in enumerate(groups_sorted)}
+        row_group = pdf["group"].map(group_of).to_numpy(dtype=np.int64)
+        n_groups = len(groups_sorted)
         term_max_ub = np.array(
-            [i * max((float(block_ub(b["max_tf"], b["min_dl"], avgdl))
+            [i * max((float(block_ub(b["max_tf"], b["min_dl"], a))
                       for b in blks), default=0.0)
-             for i, blks in zip(idfs, pdf["blocks"])], dtype=np.float64)
+             for i, a, blks in zip(idfs, avgdls, pdf["blocks"])],
+            dtype=np.float64)
+        # a group's max possible contribution (for pruning bounds)
+        group_ub = np.zeros(n_groups)
+        if combine == "max":
+            np.maximum.at(group_ub, row_group, term_max_ub)
+        else:
+            np.add.at(group_ub, row_group, term_max_ub)
 
         theta = 0.0
         solo = None
         best_i = None
-        if prune and n_terms > 1 and not keep_all and mode == "or":
+        if prune and n_rows > 1 and not keep_all and mode == "or":
             best_i = int(np.argmax(term_max_ub))
             ids_l, sc_l = [], []
             for blk in pdf["blocks"].iloc[best_i]:
                 ids_b, tfs_b, dls_b = decode_block(blk)
                 ids_l.append(ids_b)
-                sc_l.append(idfs[best_i] * tfnorm(tfs_b, dls_b, avgdl))
+                sc_l.append(idfs[best_i] *
+                            tfnorm(tfs_b, dls_b, avgdls[best_i]))
             solo = (np.concatenate(ids_l) if ids_l else np.empty(0, np.int64),
                     np.concatenate(sc_l) if sc_l else np.empty(0))
             if solo[1].size >= k:
                 theta = float(np.partition(solo[1], -k)[-k])
 
-        ids_parts, sc_parts, cnt_parts = [], [], []
-        for row_i in range(n_terms):
+        ids_parts, sc_parts, grp_parts = [], [], []
+        for row_i in range(n_rows):
             blocks = pdf["blocks"].iloc[row_i]
             t_idf = idfs[row_i]
+            g = row_group[row_i]
             if row_i == best_i and solo is not None:
                 ids_parts.append(solo[0]); sc_parts.append(solo[1])
-                cnt_parts.append(np.ones(solo[0].size, dtype=np.int64))
+                grp_parts.append(np.full(solo[0].size, g, dtype=np.int64))
                 continue
-            others_ub = float(term_max_ub.sum() - term_max_ub[row_i])
+            # other groups can add at most their group bound; this row's own
+            # group can add at most the group bound (covers max-combine where
+            # siblings don't stack)
+            others_ub = float(group_ub.sum() - group_ub[g])
+            # own-group headroom beyond this block: sibling field-rows only
+            own_extra = float(group_ub[g] - term_max_ub[row_i]) \
+                if combine == "sum" else 0.0
             for blk in blocks:
-                if theta > 0.0 and t_idf * float(
-                        block_ub(blk["max_tf"], blk["min_dl"], avgdl)
-                ) + others_ub < theta:
+                ub = t_idf * float(block_ub(blk["max_tf"], blk["min_dl"],
+                                            avgdls[row_i]))
+                bound = (max(ub, float(group_ub[g])) if combine == "max"
+                         else ub + own_extra)
+                if theta > 0.0 and bound + others_ub < theta:
                     continue
                 ids_b, tfs_b, dls_b = decode_block(blk)
                 ids_parts.append(ids_b)
-                sc_parts.append(t_idf * tfnorm(tfs_b, dls_b, avgdl))
-                cnt_parts.append(np.ones(ids_b.size, dtype=np.int64))
+                sc_parts.append(t_idf * tfnorm(tfs_b, dls_b, avgdls[row_i]))
+                grp_parts.append(np.full(ids_b.size, g, dtype=np.int64))
         if not ids_parts:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}
                                 ).astype({"query_id": "int32",
@@ -109,17 +141,33 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool):
                                           "score": "float64"})
         ids = np.concatenate(ids_parts)
         scores = np.concatenate(sc_parts)
-        counts = np.concatenate(cnt_parts)
-        # ascending-term contribution order survives the stable sort, so
-        # reduceat adds each doc's terms in the same order as the oracle
-        order = np.argsort(ids.view(np.uint64), kind="stable")
-        ids, scores, counts = ids[order], scores[order], counts[order]
-        seg = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-        doc_ids = ids[seg]
-        doc_scores = np.add.reduceat(scores, seg)
+        grps = np.concatenate(grp_parts)
+        # stable lexsort: primary doc (unsigned), secondary group — within a
+        # (doc, group) run the original ascending fielded-term order survives
+        order = np.lexsort((grps, ids.view(np.uint64)))
+        ids, scores, grps = ids[order], scores[order], grps[order]
+        # (doc, group) segments
+        new_doc = np.concatenate(([True], ids[1:] != ids[:-1]))
+        new_seg = new_doc | np.concatenate(([True], grps[1:] != grps[:-1]))
+        seg_idx = np.flatnonzero(new_seg)
+        if combine == "max":
+            seg_scores = np.maximum.reduceat(scores, seg_idx)
+        else:
+            seg_scores = np.add.reduceat(scores, seg_idx)
+        seg_ids = ids[seg_idx]
+        # doc segments over the (doc, group) reduction
+        doc_start = np.flatnonzero(
+            np.concatenate(([True], seg_ids[1:] != seg_ids[:-1])))
+        doc_ids = seg_ids[doc_start]
+        doc_scores = np.add.reduceat(seg_scores, doc_start)
         if mode == "and":
-            doc_counts = np.add.reduceat(counts, seg)
-            keep = doc_counts == n_terms
+            # expected count comes from the QUERY (n_groups column), not from
+            # the rows present in this shard — a shard lacking one query
+            # term entirely must yield zero AND matches
+            expected = int(pdf["n_groups"].iloc[0])
+            doc_group_counts = np.add.reduceat(
+                np.ones(seg_ids.size, dtype=np.int64), doc_start)
+            keep = doc_group_counts == expected
             doc_ids, doc_scores = doc_ids[keep], doc_scores[keep]
         if not keep_all and doc_ids.size > k:
             part = np.argpartition(doc_scores, -k)[-k:]
@@ -138,65 +186,132 @@ class Searcher:
     postings/term_stats/documents DataFrames so repeated queries skip the
     per-call setup jobs. `search()` below is the one-shot convenience form."""
 
-    def __init__(self, spark: SparkSession, io: TableIO):
+    # vocabularies up to this size are cached driver-side: one job at init,
+    # then per-query idf/bucket lookups are dictionary hits instead of a
+    # filtered scan+collect job per search call
+    TERM_CACHE_MAX = 500_000
+
+    def __init__(self, spark: SparkSession, io: TableIO,
+                 cache_terms: bool | None = None):
         self.spark, self.io = spark, io
         row = io.read("index_stats").collect()[0]
         self.n_docs, self.avgdl = int(row["n_docs"]), float(row["avgdl"])
         self.term_stats = io.read("term_stats")
         self.postings = io.read("postings")
         self.documents = io.read("documents")
+        self._term_cache: dict | None = None
+        if cache_terms is None:
+            cache_terms = self.term_stats.count() <= self.TERM_CACHE_MAX
+        if cache_terms:
+            self._term_cache = {
+                r["term"]: (int(r["df"]), int(r["bucket"]))
+                for r in self.term_stats.collect()
+            }
+
+    def lookup_terms(self, terms: list) -> dict:
+        """term → (df, bucket) for the given terms (cache or filtered scan).
+        At web scale the vocabulary exceeds the cache bound and this becomes
+        the bucket-pruned parquet lookup; locally it's a dict hit."""
+        if self._term_cache is not None:
+            return {t: self._term_cache[t] for t in terms
+                    if t in self._term_cache}
+        return {r["term"]: (int(r["df"]), int(r["bucket"]))
+                for r in self.term_stats
+                .filter(F.col("term").isin(terms)).collect()}
+
+    def field_stats(self) -> dict:
+        """Per-field (n_docs, avgdl) for fielded indexes (field_stats table
+        written by build_fielded_index); {} for single-field indexes."""
+        if not self.io.exists("field_stats"):
+            return {}
+        return {r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+                for r in self.io.read("field_stats").collect()}
 
     def search(self, queries: list, k: int = 10, mode: str = "or",
-               prune: bool = True) -> DataFrame:
-        return _search_impl(self.spark, self, queries, k, mode, prune)
+               prune: bool = True, fields: dict | None = None,
+               combine: str = "sum") -> DataFrame:
+        return _search_impl(self.spark, self, queries, k, mode, prune,
+                            fields=fields, combine=combine)
 
 
 def search(spark: SparkSession, io: TableIO, queries: list,
-           k: int = 10, mode: str = "or", prune: bool = True) -> DataFrame:
+           k: int = 10, mode: str = "or", prune: bool = True,
+           fields: dict | None = None, combine: str = "sum") -> DataFrame:
     """queries: list of (query_id:int, query_string) → DataFrame
-    (query_id, rank, doc_id, url, score), rank 1..k, ties by doc_id asc."""
-    return Searcher(spark, io).search(queries, k=k, mode=mode, prune=prune)
+    (query_id, rank, doc_id, url, score), rank 1..k, ties by doc_id asc.
+
+    fields: {field_name: boost} for a fielded index (build_fielded_index) —
+    the reference's default_field multi-match surface
+    (/root/reference/docs/indices/files.json:10-37). combine='max' is
+    OpenSearch query_string's best_fields/dis_max; 'sum' is BM25F-lite."""
+    return Searcher(spark, io).search(queries, k=k, mode=mode, prune=prune,
+                                      fields=fields, combine=combine)
 
 
 def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
-                 k: int, mode: str, prune: bool) -> DataFrame:
+                 k: int, mode: str, prune: bool,
+                 fields: dict | None = None, combine: str = "sum"
+                 ) -> DataFrame:
     n_docs, avgdl = sx.n_docs, sx.avgdl
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
-    all_terms = sorted({t for p in parsed.values()
-                        for t in (p.terms + p.not_terms)})
-    if not all_terms:
+    base_terms = sorted({t for p in parsed.values()
+                         for t in (p.terms + p.not_terms)})
+    if not base_terms:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
-    tstats = {r["term"]: (int(r["df"]), int(r["bucket"]))
-              for r in sx.term_stats
-              .filter(F.col("term").isin(all_terms)).collect()}
+    if fields:
+        fstats = sx.field_stats()
+        lookup = sorted({f"{fld}:{t}" for t in base_terms for fld in fields})
+        tstats = sx.lookup_terms(lookup)
 
-    qterm_rows, qmeta = [], []
+        def variants(t):
+            return [(fld, f"{fld}:{t}") for fld in sorted(fields)
+                    if f"{fld}:{t}" in tstats]
+    else:
+        tstats = sx.lookup_terms(base_terms)
+
+        def variants(t):
+            return [(None, t)] if t in tstats else []
+
+    # qterms: one row per (query, fielded term). group = the base query term;
+    # n_groups = the query's matching base-term count (AND semantics).
+    qterm_rows = []
     for qid, p in parsed.items():
-        pos_terms = [t for t in p.terms if t in tstats]
-        neg_terms = [t for t in p.not_terms if t in tstats]
-        qmeta.append((qid, len(pos_terms)))
-        for t in pos_terms:
-            qterm_rows.append((qid, t, idf(n_docs, tstats[t][0]), False))
-        for t in neg_terms:
-            qterm_rows.append((qid, t, 0.0, True))
+        pos = [t for t in p.terms if variants(t)]
+        neg = [t for t in p.not_terms if variants(t)]
+        for t in pos:
+            for fld, ft in variants(t):
+                if fld is None:
+                    t_idf, boost, av = idf(n_docs, tstats[ft][0]), 1.0, avgdl
+                else:
+                    nf, af = fstats[fld]
+                    t_idf, boost, av = (idf(nf, tstats[ft][0]),
+                                        float(fields[fld]), af)
+                qterm_rows.append((qid, ft, t_idf, False, boost, t, av,
+                                   len(pos)))
+        for t in neg:
+            for fld, ft in variants(t):
+                qterm_rows.append((qid, ft, 0.0, True, 1.0, t,
+                                   avgdl if fld is None else fstats[fld][1],
+                                   len(pos)))
     if not qterm_rows:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
-    buckets = sorted({tstats[t][1] for _, t, _, _ in qterm_rows})
-    live_terms = sorted({t for _, t, _, _ in qterm_rows})
+    buckets = sorted({tstats[r[1]][1] for r in qterm_rows})
+    live_terms = sorted({r[1] for r in qterm_rows})
 
     qterms = spark.createDataFrame(
-        qterm_rows, "query_id int, term string, idf double, neg boolean")
+        qterm_rows,
+        "query_id int, term string, idf double, neg boolean, boost double, "
+        "group string, avgdl double, n_groups int")
     postings = (sx.postings
                 .filter(F.col("bucket").isin(buckets) &
                         F.col("term").isin(live_terms)))
-    probe = postings.join(F.broadcast(qterms), "term").withColumn(
-        "avgdl", F.lit(avgdl))
+    probe = postings.join(F.broadcast(qterms), "term")
 
     has_filters = any(p.filters for p in parsed.values())
     has_neg = any(p.not_terms for p in parsed.values())
@@ -204,12 +319,12 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
     pos_probe = probe.filter(~F.col("neg"))
     candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
-        _make_scorer(k, mode, prune, keep_all), CANDIDATE_SCHEMA)
+        _make_scorer(k, mode, prune, keep_all, combine), CANDIDATE_SCHEMA)
 
     if has_neg:
         neg_probe = probe.filter(F.col("neg"))
         neg_docs = neg_probe.groupBy("query_id", "shard").applyInPandas(
-            _make_scorer(k, "or", False, True), CANDIDATE_SCHEMA
+            _make_scorer(k, "or", False, True, combine), CANDIDATE_SCHEMA
         ).select("query_id", "doc_id")
         candidates = candidates.join(neg_docs, ["query_id", "doc_id"],
                                      "left_anti")

@@ -32,6 +32,26 @@ def test_exact_ties_break_by_doc_id(spark, tmp_path):
             assert ids[i] < ids[i + 1]
 
 
+def test_and_mode_shard_missing_term(spark, tmp_path):
+    """AND semantics across shards: a shard that contains NO postings for one
+    query term must yield zero AND matches from that shard (the expected
+    group count comes from the query, not from rows present per shard)."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+    from ipfs_search_spark.plans.query import search
+
+    rows = [(str(i), i, "common filler words here", "en", "ok")
+            for i in range(40)]
+    rows.append(("rare", 1000, "common rareword", "en", "ok"))
+    docs = spark.createDataFrame(
+        rows, "url string, doc_id long, text string, lang string, status string")
+    io = TableIO(spark, str(tmp_path / "andix"))
+    build_index_from_docs(spark, docs, io, n_shards=8, n_buckets=4)
+    hits = search(spark, io, [(0, "common rareword")], k=50,
+                  mode="and").collect()
+    assert [r["doc_id"] for r in hits] == [1000]
+
+
 def test_unknown_terms_and_empty_results(spark, built_index):
     from ipfs_search_spark.plans.query import search
     io, _ = built_index

