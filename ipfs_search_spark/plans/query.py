@@ -192,13 +192,38 @@ class Searcher:
     TERM_CACHE_MAX = 500_000
 
     def __init__(self, spark: SparkSession, io: TableIO,
-                 cache_terms: bool | None = None):
+                 cache_terms: bool | None = None,
+                 include_segments: bool | None = None):
+        """include_segments: also search `posting_segments` (incremental
+        micro-batch appends, streaming/ingest_stream.py). Segments hold only
+        NEW docs (anti-joined at ingest), so the union's doc sets are
+        disjoint and exact global stats are recomputed over the union —
+        scores match a from-scratch rebuild bit-for-bit. Default: on when
+        the segments table exists."""
         self.spark, self.io = spark, io
-        row = io.read("index_stats").collect()[0]
-        self.n_docs, self.avgdl = int(row["n_docs"]), float(row["avgdl"])
-        self.term_stats = io.read("term_stats")
-        self.postings = io.read("postings")
         self.documents = io.read("documents")
+        has_base = io.exists("postings")
+        if include_segments is None:
+            include_segments = io.exists("posting_segments")
+        if include_segments and io.exists("posting_segments"):
+            from ipfs_search_spark.operators.index_build import (
+                compute_doc_stats,
+            )
+            seg = self.io.read("posting_segments").drop("segment_id")
+            base = io.read("postings") if has_base else None
+            self.postings = (base.unionByName(seg) if base is not None
+                             else seg)
+            merged_stats = self.postings.groupBy("term").agg(
+                F.first("bucket").alias("bucket"),
+                F.sum("df_part").alias("df"),
+                F.sum("cf_part").alias("cf"))
+            self.term_stats = merged_stats
+            self.n_docs, self.avgdl = compute_doc_stats(self.documents)
+        else:
+            row = io.read("index_stats").collect()[0]
+            self.n_docs, self.avgdl = int(row["n_docs"]), float(row["avgdl"])
+            self.term_stats = io.read("term_stats")
+            self.postings = io.read("postings")
         self._term_cache: dict | None = None
         if cache_terms is None:
             cache_terms = self.term_stats.count() <= self.TERM_CACHE_MAX

@@ -54,10 +54,19 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64):
         if batch_df.isEmpty():
             return
         docs = canonical_documents(batch_df, extract=False)
-        io.append_atomic(docs, "documents")
+        # new-item path (J2): only urls absent from the state enter the
+        # segment — re-sightings of known docs are updates, not re-indexes
+        # (/root/reference/components/crawler/update.go:141-160); this also
+        # keeps doc sets disjoint across segments so segment-union querying
+        # has exact global statistics.
+        if io.exists("documents"):
+            docs = docs.join(io.read("documents").select("url"),
+                             "url", "left_anti")
+        docs = docs.localCheckpoint(eager=True)
         n_docs, _ = compute_doc_stats(docs)
         if n_docs == 0:
             return
+        io.append_atomic(docs, "documents")
         postings = build_postings(docs, n_shards=n_shards,
                                   n_buckets=n_buckets)
         io.append_atomic(postings.withColumn("segment_id", F.lit(batch_id)),

@@ -1,0 +1,59 @@
+"""Incremental segment querying: base index + streamed micro-batch segments
+must answer queries identically to a from-scratch rebuild over the union."""
+
+import tempfile
+
+import pytest
+
+from ipfs_search_spark.catalog import TableIO
+from ipfs_search_spark.fixtures import pages_df
+from ipfs_search_spark.operators.index_build import build_index
+from ipfs_search_spark.plans.query import Searcher
+from ipfs_search_spark.streaming.ingest_stream import (
+    incremental_index_microbatch,
+)
+
+QUERIES = [(0, "data spark"), (1, "index merge"), (2, "page crawl token")]
+
+
+def _results(sx, queries=QUERIES, k=10):
+    res = {}
+    for r in sx.search(queries, k=k).collect():
+        res.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for v in res.values():
+        v.sort()
+    return res
+
+
+def test_segment_union_matches_rebuild(spark):
+    all_pages = pages_df(spark, n=400, seed=21).cache()
+    # split: first 250 are the base build, rest arrive as two micro-batches
+    base = all_pages.limit(250).cache()
+    rest = all_pages.subtract(base).cache()
+    b1 = rest.limit(70).cache()
+    b2 = rest.subtract(b1)
+
+    io_inc = TableIO(spark, tempfile.mkdtemp(prefix="isx-inc-q-"))
+    build_index(spark, base, io_inc, n_shards=4, n_buckets=16)
+    handle = incremental_index_microbatch(io_inc, n_shards=4, n_buckets=16)
+    handle(b1, batch_id=1)
+    handle(b2, batch_id=2)
+
+    io_full = TableIO(spark, tempfile.mkdtemp(prefix="isx-full-q-"))
+    build_index(spark, all_pages, io_full, n_shards=4, n_buckets=16)
+
+    inc = _results(Searcher(spark, io_inc))  # segments auto-detected
+    full = _results(Searcher(spark, io_full))
+    assert inc == full
+
+
+def test_resighted_urls_not_reindexed(spark):
+    pages = pages_df(spark, n=120, seed=5).cache()
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-reseen-"))
+    build_index(spark, pages, io, n_shards=2, n_buckets=8)
+    n_docs_before = io.read("documents").count()
+    handle = incremental_index_microbatch(io, n_shards=2, n_buckets=8)
+    handle(pages.limit(50), batch_id=7)  # all urls already known
+    assert io.read("documents").count() == n_docs_before
+    assert not io.exists("posting_segments")  # nothing new → no segment
