@@ -89,6 +89,63 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _bm25f_oracle_sql(terms: list[str], k: int) -> str:
+    """DuckDB mirror of the fielded engine: title = first 5 tokens (boost 2),
+    content = all tokens (boost 1); per-field BM25 with per-field df/N/avgdl;
+    best_fields combine (greatest of boosted field scores per term), summed
+    over terms."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {_TOK} AS a FROM documents
+), ttoks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_slice(a, 1, 5)) AS term FROM arr)
+  GROUP BY 1, 2
+), ctoks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(a) AS term FROM arr) GROUP BY 1, 2
+), tdl AS (
+  SELECT doc_id, least(len(a), 5) AS dl FROM arr WHERE len(a) > 0
+), cdl AS (
+  SELECT doc_id, len(a) AS dl FROM arr WHERE len(a) > 0
+), tstat AS (
+  SELECT count(*) AS n, sum(dl) AS s FROM tdl
+), cstat AS (
+  SELECT count(*) AS n, sum(dl) AS s FROM cdl
+), tdf AS (
+  SELECT term, count(*) AS df FROM ttoks WHERE term IN ({tl}) GROUP BY term
+), cdf AS (
+  SELECT term, count(*) AS df FROM ctoks WHERE term IN ({tl}) GROUP BY term
+), ts AS (
+  SELECT t.doc_id, t.term,
+         2.0 * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+          0.75 * dl.dl / (CAST(s.s AS DOUBLE) / s.n)))) AS sc
+  FROM ttoks t JOIN tdf d USING (term) JOIN tdl dl ON dl.doc_id = t.doc_id
+  CROSS JOIN tstat s WHERE t.term IN ({tl})
+), cs AS (
+  SELECT t.doc_id, t.term,
+         1.0 * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+          0.75 * dl.dl / (CAST(s.s AS DOUBLE) / s.n)))) AS sc
+  FROM ctoks t JOIN cdf d USING (term) JOIN cdl dl ON dl.doc_id = t.doc_id
+  CROSS JOIN cstat s WHERE t.term IN ({tl})
+), per_term AS (
+  SELECT coalesce(ts.doc_id, cs.doc_id) AS doc_id,
+         greatest(coalesce(ts.sc, 0.0), coalesce(cs.sc, 0.0)) AS sc
+  FROM ts FULL OUTER JOIN cs
+       ON ts.doc_id = cs.doc_id AND ts.term = cs.term
+), scored AS (
+  SELECT doc_id, CAST(round(sum(sc), 6) AS DOUBLE) AS score
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def _bm25_brute(spark: SparkSession, sf_dir: str, terms: list[str], k: int
                 ) -> DataFrame:
     """BM25 via pure DataFrame built-ins (no postings) — the SQL-path
@@ -167,6 +224,76 @@ _SHINGLE3_SQL = ("list_transform(range(1, greatest(len(a) - 2, 0) + 1), "
 # --------------------------------------------------------------------------
 # query implementations
 # --------------------------------------------------------------------------
+
+_FIELDED_CACHE: dict[str, object] = {}
+
+
+def _fielded_io(spark: SparkSession, sf_dir: str):
+    """Fielded (title/content) index over documents; title = first 5 tokens
+    (derived deterministically so the oracle can mirror it)."""
+    key = os.path.abspath(sf_dir) + "#fielded"
+    if key in _FIELDED_CACHE:
+        return _FIELDED_CACHE[key]
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    from ipfs_search_spark.operators.index_build import build_fielded_index
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-fielded-"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens_array(F.col("text")), 1, 5))
+        .alias("title"),
+        F.col("text").alias("content"),
+        F.col("lang"), F.lit("ok").alias("status"),
+    )
+    build_fielded_index(spark, docs, io,
+                        fields={"title": "title", "content": "content"},
+                        n_shards=4, n_buckets=16)
+    _FIELDED_CACHE[key] = io
+    return io
+
+
+def q_bm25_fields(spark, sf_dir):
+    """Multi-field BM25 (best_fields/dis_max, title boosted 2x) through the
+    fielded posting engine."""
+    from ipfs_search_spark.plans.query import Searcher
+    io = _fielded_io(spark, sf_dir)
+    sx = Searcher(spark, io)
+    raw = sx.search([(0, " ".join(FLAGSHIP_TERMS))], k=FLAGSHIP_K + 50,
+                    fields={"title": 2.0, "content": 1.0}, combine="max")
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def q_crawl_reach(spark, sf_dir):
+    """Crawl-frontier fixpoint (the reference's queue-driven directory
+    recursion) over the region→nation→customer→orders hierarchy."""
+    from ipfs_search_spark.operators.crawl import crawl_fixpoint
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    def edge(df, pcol, pfx_p, ccol, pfx_c):
+        return df.select(
+            F.concat(F.lit(pfx_p), F.col(pcol).cast("string"))
+            .alias("parent_url"),
+            F.concat(F.lit(pfx_c), F.col(ccol).cast("string"))
+            .alias("child_url"),
+            F.lit("x").alias("name"))
+
+    links = (edge(nation, "n_regionkey", "R", "n_nationkey", "N")
+             .unionByName(edge(customer, "c_nationkey", "N", "c_custkey", "C"))
+             .unionByName(edge(orders, "o_custkey", "C", "o_orderkey", "O")))
+    roots = region.select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("url"))
+    out = crawl_fixpoint(roots, links, max_depth=6)
+    return out.select("url", F.col("depth").cast("int").alias("depth"))
+
 
 def q_latest_wins(spark, sf_dir):
     from ipfs_search_spark.operators.ingest import latest_wins
@@ -436,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_stats": q_doc_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_engine": q_bm25_engine,
+        "q_bm25_fields": q_bm25_fields,
+        "q_crawl_reach": q_crawl_reach,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
         "q_lsh_neardup": q_lsh_neardup,
@@ -537,6 +666,23 @@ FROM dl
 """,
         "q_bm25_topk": bm25,
         "q_bm25_engine": bm25,
+        "q_bm25_fields": _bm25f_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "q_crawl_reach": """
+SELECT 'R' || r_regionkey AS url, CAST(0 AS INT) AS depth FROM region
+UNION ALL
+SELECT 'N' || n_nationkey, CAST(1 AS INT) FROM nation
+WHERE n_regionkey IN (SELECT r_regionkey FROM region)
+UNION ALL
+SELECT 'C' || c_custkey, CAST(2 AS INT) FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey IN (SELECT r_regionkey FROM region))
+UNION ALL
+SELECT 'O' || o_orderkey, CAST(3 AS INT) FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey IN (SELECT r_regionkey FROM region)))
+""",
         "q_dedup_exact": """
 WITH h AS (
   SELECT doc_id,

@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def child_priority(seed: int = 42) -> "F.Column":
+    """Deterministic analogue of the reference's random child priority 1..7
+    (/root/reference/components/crawler/crawldirectory.go:157-163 — children
+    get mixed priorities so queue consumers see a blended availability
+    workload). Seeded rand() keeps reruns and resumes identical; used as a
+    salting/ordering column, not a queue property."""
+    return (F.floor(F.rand(seed) * 7) + 1).cast("int")
+
+
 def expand_frontier(frontier: DataFrame, links: DataFrame,
                     seen: DataFrame) -> DataFrame:
     """One crawl round: children of the frontier not yet seen.
