@@ -191,6 +191,87 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, terms: list[str], k: int
             .select("doc_id", "score", "rank"))
 
 
+_POS_ENGINE_CACHE: dict[str, object] = {}
+
+PHRASE_TERMS = ["data", "spark"]  # adjacency-tested pair (has hits at sf0.01)
+PHRASE_FREE_TERM = "merge"
+
+
+def _pos_engine_io(spark: SparkSession, sf_dir: str):
+    """Positional index (term positions per posting — phrase-query support,
+    the reference's `term_vector: with_positions_offsets`,
+    /root/reference/docs/indices/files.json:93) over `documents`."""
+    key = os.path.abspath(sf_dir)
+    if key in _POS_ENGINE_CACHE:
+        return _POS_ENGINE_CACHE[key]
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-posindex-"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"), F.col("lang"), F.lit("ok").alias("status"),
+    )
+    build_index_from_docs(spark, docs, io, n_shards=4, n_buckets=16,
+                          positions=True)
+    _POS_ENGINE_CACHE[key] = io
+    return io
+
+
+def _phrase_oracle_sql(free_terms: list[str], phrase: list[str],
+                       k: int) -> str:
+    """BM25 over free_terms ∪ phrase terms, restricted to docs where the
+    phrase terms appear adjacent in analyzed order (zipped-unnest ordinality
+    self-join — the SQL mirror of the positional posting intersection)."""
+    terms = sorted(set(free_terms) | set(phrase))
+    tl = ", ".join(f"'{t}'" for t in terms)
+    adj = " AND ".join(
+        f"p{i}.term = '{t}' AND p{i}.ord = p0.ord + {i}" if i else
+        f"p0.term = '{t}'"
+        for i, t in enumerate(phrase))
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+        for i in range(1, len(phrase)))
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {_TOK} AS a FROM documents
+), pos AS (
+  SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS ord FROM arr
+), phrase_docs AS (
+  SELECT DISTINCT p0.doc_id FROM pos p0 {joins} WHERE {adj}
+), toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(a) AS term FROM arr)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), tstats AS (
+  SELECT term, count(*) AS df FROM toks WHERE term IN ({tl}) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(sum(
+           ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+           (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                    0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ), 6) AS DOUBLE) AS score
+  FROM toks t
+  JOIN tstats ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term IN ({tl})
+  GROUP BY t.doc_id
+)
+SELECT sc.doc_id, sc.score,
+       CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id) AS INT)
+         AS rank
+FROM scored sc JOIN phrase_docs USING (doc_id)
+ORDER BY sc.score DESC, sc.doc_id LIMIT {k}
+"""
+
+
 def _neardup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted near-duplicates (truncated copies of every 10th
     doc) — deterministic, mirrored exactly in the oracle SQL."""
@@ -267,6 +348,29 @@ def q_bm25_fields(spark, sf_dir):
     return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= FLAGSHIP_K)
             .select("doc_id", "score", "rank"))
+
+
+def q_phrase_search(spark, sf_dir):
+    """Phrase query through the positional posting engine: quoted phrases
+    are required (adjacent, in order); phrase terms also score."""
+    from ipfs_search_spark.plans.query import search
+    io = _pos_engine_io(spark, sf_dir)
+    qs = f'{PHRASE_FREE_TERM} "{" ".join(PHRASE_TERMS)}"'
+    raw = search(spark, io, [(0, qs)], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def q_match_all_filter(spark, sf_dir):
+    """Filter-only query string → match-all-then-filter (constant score,
+    ranked by doc_id) through the engine's query surface."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    out = search(spark, io, [(0, "lang:de")], k=20)
+    return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
 def q_crawl_reach(spark, sf_dir):
@@ -564,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_engine": q_bm25_engine,
         "q_bm25_fields": q_bm25_fields,
+        "q_phrase_search": q_phrase_search,
+        "q_match_all_filter": q_match_all_filter,
         "q_crawl_reach": q_crawl_reach,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
@@ -667,6 +773,13 @@ FROM dl
         "q_bm25_topk": bm25,
         "q_bm25_engine": bm25,
         "q_bm25_fields": _bm25f_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "q_phrase_search": _phrase_oracle_sql(
+            [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
+        "q_match_all_filter": """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank
+FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
+""",
         "q_crawl_reach": """
 SELECT 'R' || r_regionkey AS url, CAST(0 AS INT) AS depth FROM region
 UNION ALL

@@ -102,17 +102,72 @@ def block_ub(max_tf, min_dl, avgdl: float,
     return tf64 / (tf64 + denom)
 
 
+def _element_permutation(tfs: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Element-level gather indices that reorder a flat per-posting payload
+    (lengths = tfs) by the posting permutation `order`. Vectorized."""
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    tfs_o = tfs[order]
+    out_starts = np.zeros(tfs_o.size, dtype=np.int64)
+    np.cumsum(tfs_o[:-1], out=out_starts[1:])
+    total = int(tfs.sum())
+    # within-posting offsets 0..tf-1 in output order
+    offs = np.arange(total, dtype=np.int64) - np.repeat(out_starts, tfs_o)
+    return np.repeat(starts[order], tfs_o) + offs
+
+
+def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode a flat positions payload (each posting's positions ascending,
+    concatenated in posting order; lengths = tfs) as per-posting
+    delta + varbyte. The decoder recovers boundaries from the block's tfs."""
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    if pos.size == 0:
+        return b""
+    deltas = np.empty(pos.size, dtype=np.int64)
+    deltas[0] = pos[0]
+    np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    deltas[starts] = pos[starts]  # delta chain restarts at each posting
+    return varbyte_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions → flat int64 positions (lengths = tfs)."""
+    deltas = varbyte_decode(bytes(buf)).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    cs = np.cumsum(deltas)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    base = np.empty(tfs.size, dtype=np.int64)
+    base[0] = 0
+    base[1:] = cs[starts[1:] - 1]
+    return cs - np.repeat(base, tfs)
+
+
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  positions: np.ndarray | None = None,
                   block_size: int = BLOCK_SIZE) -> list[dict]:
     """Encode one (term, shard) posting list, pre-sorted by unsigned doc_id.
 
     Returns a list of block dicts (FIXTURES.md §4 layout, with the
     avgdl-independent (max_tf, min_dl) bound instead of a stored score
-    hint — see module docstring)."""
+    hint — see module docstring). `positions` (optional) is the flat
+    term-position payload for the positional index (the reference's
+    `term_vector: with_positions_offsets`,
+    /root/reference/docs/indices/files.json:93): per posting, ascending
+    token indexes, concatenated in posting order, total length = sum(tfs)."""
     u = doc_ids.astype(np.int64).view(np.uint64)
     if u.size and not (u[:-1] <= u[1:]).all():
         order = np.argsort(u, kind="stable")
+        if positions is not None:
+            positions = positions[_element_permutation(
+                tfs.astype(np.int64), order)]
         u, tfs, dls = u[order], tfs[order], dls[order]
+    el_bounds = np.zeros(u.size + 1, dtype=np.int64)
+    if u.size:
+        np.cumsum(tfs, out=el_bounds[1:])
     blocks = []
     for s in range(0, u.size, block_size):
         e = min(s + block_size, u.size)
@@ -129,8 +184,21 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             "doc_ids": varbyte_encode(gaps),
             "tfs": varbyte_encode(tfs[s:e].astype(np.uint64)),
             "dls": varbyte_encode(dls[s:e].astype(np.uint64)),
+            "pos": (encode_positions(
+                positions[el_bounds[s]:el_bounds[e]], tfs[s:e])
+                if positions is not None else None),
         })
     return blocks
+
+
+def decode_block_positions(block, tfs: np.ndarray) -> np.ndarray:
+    """Positional payload of a block (requires its decoded tfs) → flat int64
+    positions, per-posting lengths = tfs. Raises if the block was built
+    without positions (non-positional index)."""
+    if block["pos"] is None:
+        raise ValueError("block has no positional payload "
+                         "(index built with positions=False)")
+    return decode_positions(bytes(block["pos"]), tfs)
 
 
 def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -53,7 +53,8 @@ def tokenize_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
 
 
 def doc_tokens(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
-               lang_col: str | None = None) -> DataFrame:
+               lang_col: str | None = None,
+               positions: bool = False) -> DataFrame:
     """pages/documents → one row per (doc, term) with tf and dl.
 
     Stays entirely in whole-stage codegen for latin corpora (split + explode +
@@ -61,6 +62,12 @@ def doc_tokens(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
     handles the CJK branch. dl (BM25 document length) is counted BEFORE the
     groupBy so it rides along as a per-doc constant — no second pass over the
     text.
+
+    positions=True adds a `positions: array<int>` column (ascending token
+    indexes of the term within the doc) via posexplode — the positional
+    index's input (the reference's `term_vector: with_positions_offsets`,
+    /root/reference/docs/indices/files.json:93). Shuffle rows stay one per
+    (doc, term); positions ride as a payload array.
     """
     if lang_col:
         arr = tokenize_udf(F.col(text_col), F.col(lang_col))
@@ -68,6 +75,13 @@ def doc_tokens(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
         arr = tokens_array(F.col(text_col))
     with_arr = df.select(F.col(doc_col).alias("doc_id"), arr.alias("_toks"))
     with_dl = with_arr.withColumn("dl", F.size("_toks")).filter(F.col("dl") > 0)
+    if positions:
+        exploded = with_dl.select(
+            "doc_id", "dl", F.posexplode("_toks").alias("pos", "term"))
+        return exploded.groupBy("doc_id", "dl", "term").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
     exploded = with_dl.select("doc_id", "dl", F.explode("_toks").alias("term"))
     return exploded.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("int").alias("tf")

@@ -48,6 +48,7 @@ BLOCK_SCHEMA = StructType([
     StructField("doc_ids", BinaryType()),
     StructField("tfs", BinaryType()),
     StructField("dls", BinaryType()),
+    StructField("pos", BinaryType(), nullable=True),
 ])
 
 POSTINGS_SCHEMA = StructType([
@@ -130,11 +131,20 @@ def _make_encoder(block_size: int):
         ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
         dls_all = pdf["dl"].to_numpy(dtype=np.int64)
+        positional = "positions" in pdf.columns
         # one vectorized sort by (term, unsigned doc_id) segments the group
         order = np.lexsort((ids_all.view(np.uint64), terms_arr))
         terms_arr = terms_arr[order]
         ids_all, tfs_all, dls_all = (ids_all[order], tfs_all[order],
                                      dls_all[order])
+        if positional:
+            # flat element payload in sorted posting order (one C-loop
+            # concatenate over Arrow list cells — no per-element Python)
+            pos_cells = pdf["positions"].to_numpy()[order]
+            pos_flat = (np.concatenate(pos_cells).astype(np.int64)
+                        if pos_cells.size else np.empty(0, np.int64))
+            el_bounds = np.zeros(tfs_all.size + 1, dtype=np.int64)
+            np.cumsum(tfs_all, out=el_bounds[1:])
         seg = np.flatnonzero(np.concatenate(
             ([True], terms_arr[1:] != terms_arr[:-1])))
         bounds = np.append(seg, terms_arr.size)
@@ -145,6 +155,8 @@ def _make_encoder(block_size: int):
             out_cf.append(int(tfs_all[s:e].sum()))
             out_blocks.append(encode_blocks(
                 ids_all[s:e], tfs_all[s:e], dls_all[s:e],
+                positions=(pos_flat[el_bounds[s]:el_bounds[e]]
+                           if positional else None),
                 block_size=block_size))
         n = len(out_terms)
         return pd.DataFrame({
@@ -179,14 +191,25 @@ def compute_doc_stats(docs: DataFrame) -> tuple[int, float]:
 
 def build_postings(docs: DataFrame, n_shards: int = 8,
                    n_buckets: int = 64, block_size: int = BLOCK_SIZE,
-                   lang_aware: bool = False) -> DataFrame:
+                   lang_aware: bool = False,
+                   positions: bool = False) -> DataFrame:
     """tokens → encoded postings. The groupBy(term, shard) is THE big shuffle
     of the build; partial aggregation of tf happens map-side in doc_tokens'
     hash agg, so shuffle rows are (doc, term) pairs, not raw tokens. No
-    corpus stats needed — block-max metadata is avgdl-independent."""
+    corpus stats needed — block-max metadata is avgdl-independent.
+
+    positions=True writes the positional payload (per-posting token indexes,
+    delta+varbyte) into each block — required for phrase queries. The
+    positional branch uses the lang-unaware JVM tokenizer path only when
+    lang_aware is False (posexplode is JVM-side either way)."""
+    if positions and lang_aware:
+        raise NotImplementedError(
+            "positional index with the lang-aware (CJK) analyzer is not "
+            "implemented; build with lang_aware=False for phrase support")
     ok = docs.filter(F.col("status") == "ok")
     tokens = doc_tokens(ok, doc_col="doc_id", text_col="text",
-                        lang_col="lang" if lang_aware else None)
+                        lang_col="lang" if lang_aware else None,
+                        positions=positions)
     sharded = tokens.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
     ).withColumn(
@@ -200,17 +223,19 @@ def build_index(spark: SparkSession, pages: DataFrame, io: TableIO,
                 n_shards: int = 8, n_buckets: int = 64,
                 block_size: int = BLOCK_SIZE,
                 max_bytes: int = MAX_EXTRACT_BYTES,
-                extract: bool = True) -> dict:
+                extract: bool = True, positions: bool = False) -> dict:
     """Full build: writes documents, postings (partitioned by bucket →
     query-time partition pruning), term_stats, index_stats. Returns stats."""
     docs = canonical_documents(pages, max_bytes=max_bytes, extract=extract)
     return build_index_from_docs(spark, docs, io, n_shards=n_shards,
-                                 n_buckets=n_buckets, block_size=block_size)
+                                 n_buckets=n_buckets, block_size=block_size,
+                                 positions=positions)
 
 
 def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
                           n_shards: int = 8, n_buckets: int = 64,
-                          block_size: int = BLOCK_SIZE) -> dict:
+                          block_size: int = BLOCK_SIZE,
+                          positions: bool = False) -> dict:
     """Build the index from an already-canonical documents DataFrame
     (url, doc_id, text, lang, status[, ...]) — e.g. an external corpus whose
     doc_ids must be preserved. Same artifacts as build_index."""
@@ -218,7 +243,8 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     docs = io.read("documents")
     n_docs, avgdl = compute_doc_stats(docs)
     postings = build_postings(docs, n_shards=n_shards,
-                              n_buckets=n_buckets, block_size=block_size)
+                              n_buckets=n_buckets, block_size=block_size,
+                              positions=positions)
     # co-locate each bucket into one task before the partitioned write: one
     # output file per bucket instead of (tasks × buckets) fragments — the
     # commit protocol's file-listing/rename cost is serial on the driver
@@ -233,13 +259,15 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     io.write(term_stats, "term_stats")
     io.write(
         spark.createDataFrame(
-            [(n_docs, avgdl, n_shards, n_buckets, block_size)],
-            "n_docs long, avgdl double, n_shards int, n_buckets int, block_size int",
+            [(n_docs, avgdl, n_shards, n_buckets, block_size,
+              bool(positions))],
+            "n_docs long, avgdl double, n_shards int, n_buckets int, "
+            "block_size int, positional boolean",
         ),
         "index_stats",
     )
     return {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards,
-            "n_buckets": n_buckets}
+            "n_buckets": n_buckets, "positional": bool(positions)}
 
 
 def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
@@ -294,9 +322,9 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
              "field_stats")
     n_docs = ok.count()
     io.write(spark.createDataFrame(
-        [(n_docs, 0.0, n_shards, n_buckets, block_size)],
+        [(n_docs, 0.0, n_shards, n_buckets, block_size, False)],
         "n_docs long, avgdl double, n_shards int, n_buckets int, "
-        "block_size int"), "index_stats")
+        "block_size int, positional boolean"), "index_stats")
     return {"n_docs": n_docs,
             "fields": {f: (n, a) for f, n, a in fstats_rows}}
 
@@ -309,19 +337,40 @@ def merge_term_shards(postings: DataFrame,
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         from ipfs_search_spark.functions.codec import (
-            decode_block, encode_blocks, merge_sorted_runs,
+            decode_block, decode_block_positions, encode_blocks,
+            merge_sorted_runs,
         )
-        runs = []
+        runs, pos_l = [], []
+        positional = True
         for blocks in pdf["blocks"]:
             ids_l, tfs_l, dls_l = [], [], []
             for blk in blocks:
                 i, t, d = decode_block(blk)
                 ids_l.append(i); tfs_l.append(t); dls_l.append(d)
+                if blk["pos"] is None:
+                    positional = False
+                elif positional:
+                    pos_l.append(decode_block_positions(blk, t))
             if ids_l:
                 runs.append((np.concatenate(ids_l), np.concatenate(tfs_l),
                              np.concatenate(dls_l)))
         ids, tfs, dls = merge_sorted_runs(runs)
-        blocks = encode_blocks(ids, tfs, dls, block_size=block_size)
+        # positions payload: encode_blocks re-sorts by unsigned doc_id and
+        # permutes the flat payload with it, so pre-merge run order is fine
+        pos_flat = (np.concatenate(pos_l).astype(np.int64)
+                    if positional and pos_l else None)
+        if pos_flat is not None:
+            # align the flat payload to the POST-merge posting order: runs
+            # were concatenated unsorted; rebuild the unsorted posting order
+            # (same concatenation) and let encode_blocks permute
+            unsorted_tfs = np.concatenate([r[1] for r in runs])
+            unsorted_ids = np.concatenate([r[0] for r in runs])
+            from ipfs_search_spark.functions.codec import _element_permutation
+            order = np.argsort(unsorted_ids.view(np.uint64), kind="stable")
+            pos_flat = pos_flat[_element_permutation(
+                unsorted_tfs.astype(np.int64), order)]
+        blocks = encode_blocks(ids, tfs, dls, positions=pos_flat,
+                               block_size=block_size)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
             "shard": [-1],

@@ -31,6 +31,7 @@ class BM25Oracle:
         self.dl: dict = {}
         self.df: Counter = Counter()
         langs = langs or {}
+        self.tokens: dict = {}
         for key, text in docs.items():
             toks = tokenize_str(text, langs.get(key, "en"))
             if not toks:
@@ -38,6 +39,7 @@ class BM25Oracle:
             c = Counter(toks)
             self.tf[key] = c
             self.dl[key] = len(toks)
+            self.tokens[key] = toks
             for t in c:
                 self.df[t] += 1
         self.n_docs = len(self.tf)
@@ -60,17 +62,32 @@ class BM25Oracle:
                 s += self.idf(t) * (tf / (tf + denom_k))
         return s
 
+    def phrase_match(self, key, phrase: list[str]) -> bool:
+        """True iff the analyzed phrase terms appear adjacent, in order."""
+        toks = self.tokens.get(key)
+        if not toks or len(phrase) == 0:
+            return False
+        m = len(phrase)
+        return any(toks[i:i + m] == phrase
+                   for i in range(len(toks) - m + 1))
+
     def search(self, query_terms: list[str], k: int = 10,
-               mode: str = "or") -> list[tuple]:
+               mode: str = "or", phrases: list | None = None) -> list[tuple]:
         """Top-k (doc_key, score), OR semantics by default; 'and' requires
-        every term present (query-side posting intersection, SURVEY.md §2 J6)."""
+        every term present (query-side posting intersection, SURVEY.md §2 J6).
+        phrases: required clauses — docs must contain every phrase adjacent,
+        in order; phrase terms must be included in query_terms by the caller
+        (parse_query does this) so they also score."""
         uniq = sorted(set(query_terms))
+        phrases = phrases or []
         hits = []
         for key, c in self.tf.items():
             present = [t for t in uniq if t in c]
             if not present:
                 continue
             if mode == "and" and len(present) != len(uniq):
+                continue
+            if any(not self.phrase_match(key, ph) for ph in phrases):
                 continue
             hits.append((key, self.score(key, uniq)))
         hits.sort(key=lambda x: (-x[1], x[0]))

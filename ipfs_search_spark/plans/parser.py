@@ -7,11 +7,17 @@ structured Query the scorer + Catalyst filters consume.
 
 Supported grammar (superset of what the reference's own doc examples use):
   term            free text term (analyzed with the canonical tokenizer)
-  "a b"           phrase → its analyzed terms (AND semantics, no positions v1)
+  "a b"           phrase: terms must appear ADJACENT in analyzed order
+                  (positional index required); quoted phrases are required
+                  clauses regardless of mode, and their terms also score
   -term           NOT term (left-anti on the term's doc set)
+  -"a b"          NOT phrase (docs containing the exact phrase are excluded)
   field:value     equality filter (lang, status, url)
   last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
   size:>N, size:<N                   numeric range filter
+
+A query with ONLY filters (no terms/phrases) is match-all-then-filter:
+every doc passing the filters, constant score, ranked by doc_id.
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ def _analyze(tok: str) -> list[str]:
 _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
                   "first-seen", "first_seen", "size"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
-_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+_TOKEN_RE = re.compile(r'-?"[^"]*"|\S+')
 
 
 @dataclass
@@ -48,6 +54,13 @@ class Query:
     not_terms: list = field(default_factory=list)
     filters: list = field(default_factory=list)
     mode: str = "or"
+    # phrases: each a list of analyzed terms that must appear adjacent, in
+    # order (required clauses); not_phrases: docs with the phrase excluded
+    phrases: list = field(default_factory=list)
+    not_phrases: list = field(default_factory=list)
+    # True when the query string had no scoring clause at all (filters only):
+    # match-all semantics rather than empty results
+    match_all: bool = False
 
 
 def _norm_field(f: str) -> str:
@@ -61,7 +74,15 @@ def parse_query(q: str, mode: str = "or") -> Query:
         tok = raw[1:] if neg else raw
         if tok.startswith('"') and tok.endswith('"'):
             terms = _analyze(tok[1:-1])
-            (out.not_terms if neg else out.terms).extend(terms)
+            if not terms:
+                continue
+            if len(terms) == 1:  # one-word phrase degenerates to a term
+                (out.not_terms if neg else out.terms).extend(terms)
+            elif neg:
+                out.not_phrases.append(terms)
+            else:
+                out.phrases.append(terms)
+                out.terms.extend(terms)  # phrase terms also score
             continue
         if ":" in tok:
             fld, _, val = tok.partition(":")
@@ -77,6 +98,9 @@ def parse_query(q: str, mode: str = "or") -> Query:
         (out.not_terms if neg else out.terms).extend(terms)
     out.terms = sorted(set(out.terms))
     out.not_terms = sorted(set(out.not_terms) - set(out.terms))
+    out.match_all = (not out.terms and not out.phrases
+                     and bool(out.filters or out.not_terms
+                              or out.not_phrases))
     return out
 
 

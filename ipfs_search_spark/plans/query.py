@@ -24,6 +24,19 @@ Block-max pruning (sound, never changes results — test-asserted):
   is skipped iff idf_t·ub(B) + Σ_{t'≠t} idf_{t'}·ub(t') < θ, where
   ub = tfnorm(max_tf, min_dl, avgdl) is the avgdl-at-query-time block bound:
   every doc in B then has total score < θ and cannot reach the top-k.
+
+Phrase queries (positional index, the reference's `term_vector:
+with_positions_offsets` — /root/reference/docs/indices/files.json:93):
+quoted phrases are REQUIRED clauses; the scorer decodes each phrase term's
+per-posting positions and verifies adjacency with a vectorized
+(doc,pos)-key chain (_match_phrase) before the per-shard top-k cut —
+doc-sharding keeps the check shard-local and exact. `-"a b"` runs the same
+matcher in 'any' mode and anti-joins. Pruning is disabled within phrase
+queries (a skipped block would lose position data).
+
+Filter-only query strings are match-all-then-filter: every doc passing the
+filters at constant score 1.0, ranked by doc_id — per-query
+TakeOrderedAndProject when the query has no negative clauses.
 """
 
 from __future__ import annotations
@@ -52,8 +65,46 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _match_phrase(pos_data: dict, phrase: list):
+    """Docs (int64 array) where `phrase`'s terms appear adjacent, in order.
+
+    pos_data: term → (el_doc_ids int64, el_positions int64) — one element per
+    term OCCURRENCE. Fully vectorized: docs are densified, (doc, pos) packed
+    into one int64 key (positions < 2^32 since dl < 2^31), and phrase
+    adjacency is a chain of sorted-membership probes: a start position p
+    survives step i iff (doc, p+i) exists for term i."""
+    import numpy as np
+
+    empty = np.empty(0, dtype=np.int64)
+    arrs = []
+    for t in phrase:
+        if t not in pos_data:
+            return empty
+        arrs.append(pos_data[t])
+    all_docs = np.unique(np.concatenate([a[0] for a in arrs]))
+    keys = []
+    for el_ids, el_pos in arrs:
+        dense = np.searchsorted(all_docs, el_ids).astype(np.int64)
+        key = (dense << np.int64(32)) + el_pos
+        key.sort()
+        keys.append(key)
+    cur = keys[0]
+    for i in range(1, len(keys)):
+        nxt = keys[i]
+        probe = cur + np.int64(i)
+        idx = np.searchsorted(nxt, probe)
+        idx_c = np.minimum(idx, max(nxt.size - 1, 0))
+        ok = (idx < nxt.size)
+        if nxt.size:
+            ok &= nxt[idx_c] == probe
+        cur = cur[ok]
+        if cur.size == 0:
+            return empty
+    return np.unique(all_docs[cur >> np.int64(32)])
+
+
 def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
-                 combine: str = "sum"):
+                 combine: str = "sum", phrase_mode: str | None = None):
     """Scorer for one (query, shard) group.
 
     Rows are (possibly fielded) posting lists: each carries idf, boost,
@@ -62,16 +113,34 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
     (max → OpenSearch best_fields/dis_max; sum → BM25F-lite) and then
     summed across groups in ascending group order (float-deterministic,
     matching the oracle). Single-field indexes have one row per group, so
-    both combines degenerate to the original exact BM25 sum."""
+    both combines degenerate to the original exact BM25 sum.
+
+    phrase_mode (reads the per-query `phrase_json` column, a JSON list of
+    phrases, each a list of terms):
+      'all' — positive path: docs must contain EVERY phrase (quoted phrases
+              are required clauses); applied before the per-shard top-k cut,
+              so the cut stays sound. Disables block pruning for the group
+              (skipped blocks would lose position data and bias θ).
+      'any' — negative path: emit docs containing ANY phrase (the caller
+              anti-joins them away); scores are not meaningful."""
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         import numpy as np
         from ipfs_search_spark.functions.codec import (
-            block_ub, decode_block, tfnorm,
+            block_ub, decode_block, decode_block_positions, tfnorm,
         )
 
         qid = int(pdf["query_id"].iloc[0])
         pdf = pdf.sort_values("term", kind="stable")
         n_rows = len(pdf)
+        phrases: list = []
+        if phrase_mode is not None and "phrase_json" in pdf.columns:
+            pj = pdf["phrase_json"].iloc[0]
+            if pj:
+                phrases = _json.loads(pj)
+        phrase_terms = {t for ph in phrases for t in ph}
+        pos_acc: dict = {t: [] for t in phrase_terms}
         avgdls = pdf["avgdl"].to_numpy(dtype=np.float64)
         idfs = pdf["idf"].to_numpy(dtype=np.float64) * \
             pdf["boost"].to_numpy(dtype=np.float64)
@@ -94,7 +163,8 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         theta = 0.0
         solo = None
         best_i = None
-        if prune and n_rows > 1 and not keep_all and mode == "or":
+        if prune and n_rows > 1 and not keep_all and mode == "or" \
+                and not phrases:
             best_i = int(np.argmax(term_max_ub))
             ids_l, sc_l = [], []
             for blk in pdf["blocks"].iloc[best_i]:
@@ -134,6 +204,10 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 ids_parts.append(ids_b)
                 sc_parts.append(t_idf * tfnorm(tfs_b, dls_b, avgdls[row_i]))
                 grp_parts.append(np.full(ids_b.size, g, dtype=np.int64))
+                t_name = pdf["term"].iloc[row_i]
+                if t_name in phrase_terms:
+                    pos_acc[t_name].append(
+                        (ids_b, tfs_b, decode_block_positions(blk, tfs_b)))
         if not ids_parts:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}
                                 ).astype({"query_id": "int32",
@@ -169,6 +243,27 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 np.ones(seg_ids.size, dtype=np.int64), doc_start)
             keep = doc_group_counts == expected
             doc_ids, doc_scores = doc_ids[keep], doc_scores[keep]
+        if phrases:
+            pos_data = {}
+            for t, lst in pos_acc.items():
+                if lst:
+                    ids_c = np.concatenate([x[0] for x in lst])
+                    tfs_c = np.concatenate([x[1] for x in lst])
+                    pos_c = np.concatenate([x[2] for x in lst])
+                    pos_data[t] = (np.repeat(ids_c, tfs_c), pos_c)
+            matched = [_match_phrase(pos_data, ph) for ph in phrases]
+            if phrase_mode == "any":
+                docs_any = (np.unique(np.concatenate(matched)) if matched
+                            else np.empty(0, np.int64))
+                return pd.DataFrame({
+                    "query_id": np.full(docs_any.size, qid, dtype=np.int32),
+                    "doc_id": docs_any.astype(np.int64),
+                    "score": np.zeros(docs_any.size, dtype=np.float64),
+                })
+            mask = np.ones(doc_ids.size, dtype=bool)
+            for m in matched:
+                mask &= np.isin(doc_ids, m)
+            doc_ids, doc_scores = doc_ids[mask], doc_scores[mask]
         if not keep_all and doc_ids.size > k:
             part = np.argpartition(doc_scores, -k)[-k:]
             doc_ids, doc_scores = doc_ids[part], doc_scores[part]
@@ -224,6 +319,11 @@ class Searcher:
             self.n_docs, self.avgdl = int(row["n_docs"]), float(row["avgdl"])
             self.term_stats = io.read("term_stats")
             self.postings = io.read("postings")
+        # positional flag (phrase-query capability) from index_stats
+        self.positional = False
+        if io.exists("index_stats"):
+            srow = io.read("index_stats").collect()[0].asDict()
+            self.positional = bool(srow.get("positional", False))
         self._term_cache: dict | None = None
         if cache_terms is None:
             cache_terms = self.term_stats.count() <= self.TERM_CACHE_MAX
@@ -281,9 +381,20 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
+    has_any_phrase = any(p.phrases or p.not_phrases for p in parsed.values())
+    if has_any_phrase:
+        if fields:
+            raise NotImplementedError(
+                "phrase queries over a fielded index are not supported")
+        if not sx.positional:
+            raise ValueError(
+                "phrase query requires a positional index "
+                "(build_index(..., positions=True))")
+    matchall_qids = sorted(q for q, p in parsed.items() if p.match_all)
     base_terms = sorted({t for p in parsed.values()
-                         for t in (p.terms + p.not_terms)})
-    if not base_terms:
+                         for t in (p.terms + p.not_terms +
+                                   [t for ph in p.not_phrases for t in ph])})
+    if not base_terms and not matchall_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
@@ -302,59 +413,108 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             return [(None, t)] if t in tstats else []
 
     # qterms: one row per (query, fielded term). group = the base query term;
-    # n_groups = the query's matching base-term count (AND semantics).
+    # n_groups = the query's matching base-term count (AND semantics);
+    # kind = pos (scoring) / neg (NOT term) / negp (NOT-phrase term);
+    # phrase_json = the query's phrase spec for the matching pass.
+    import json as _json
     qterm_rows = []
     for qid, p in parsed.items():
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
-        for t in pos:
-            for fld, ft in variants(t):
-                if fld is None:
-                    t_idf, boost, av = idf(n_docs, tstats[ft][0]), 1.0, avgdl
-                else:
-                    nf, af = fstats[fld]
-                    t_idf, boost, av = (idf(nf, tstats[ft][0]),
-                                        float(fields[fld]), af)
-                qterm_rows.append((qid, ft, t_idf, False, boost, t, av,
-                                   len(pos)))
+        # quoted phrases are required clauses: a phrase term absent from the
+        # index means the phrase (hence the query) cannot match
+        if p.phrases and any(not variants(t)
+                             for ph in p.phrases for t in ph):
+            continue
+        phrase_json = _json.dumps(p.phrases) if p.phrases else ""
+        live_np = [ph for ph in p.not_phrases
+                   if all(variants(t) for t in ph)]
+        negp_json = _json.dumps(live_np) if live_np else ""
+        if not p.match_all:
+            for t in pos:
+                for fld, ft in variants(t):
+                    if fld is None:
+                        t_idf, boost, av = (idf(n_docs, tstats[ft][0]), 1.0,
+                                            avgdl)
+                    else:
+                        nf, af = fstats[fld]
+                        t_idf, boost, av = (idf(nf, tstats[ft][0]),
+                                            float(fields[fld]), af)
+                    qterm_rows.append((qid, ft, t_idf, "pos", boost, t, av,
+                                       len(pos), phrase_json))
         for t in neg:
             for fld, ft in variants(t):
-                qterm_rows.append((qid, ft, 0.0, True, 1.0, t,
+                qterm_rows.append((qid, ft, 0.0, "neg", 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
-                                   len(pos)))
-    if not qterm_rows:
+                                   len(pos), ""))
+        for t in sorted({t for ph in live_np for t in ph}):
+            for fld, ft in variants(t):
+                qterm_rows.append((qid, ft, 0.0, "negp", 1.0, t, avgdl,
+                                   len(pos), negp_json))
+    if not qterm_rows and not matchall_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
-    buckets = sorted({tstats[r[1]][1] for r in qterm_rows})
-    live_terms = sorted({r[1] for r in qterm_rows})
-
-    qterms = spark.createDataFrame(
-        qterm_rows,
-        "query_id int, term string, idf double, neg boolean, boost double, "
-        "group string, avgdl double, n_groups int")
-    postings = (sx.postings
-                .filter(F.col("bucket").isin(buckets) &
-                        F.col("term").isin(live_terms)))
-    probe = postings.join(F.broadcast(qterms), "term")
-
     has_filters = any(p.filters for p in parsed.values())
-    has_neg = any(p.not_terms for p in parsed.values())
+    has_neg = any(p.not_terms or p.not_phrases for p in parsed.values())
     keep_all = has_filters or has_neg
 
-    pos_probe = probe.filter(~F.col("neg"))
-    candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
-        _make_scorer(k, mode, prune, keep_all, combine), CANDIDATE_SCHEMA)
+    candidates = None
+    probe = None
+    if qterm_rows:
+        buckets = sorted({tstats[r[1]][1] for r in qterm_rows})
+        live_terms = sorted({r[1] for r in qterm_rows})
 
-    if has_neg:
-        neg_probe = probe.filter(F.col("neg"))
+        qterms = spark.createDataFrame(
+            qterm_rows,
+            "query_id int, term string, idf double, kind string, "
+            "boost double, group string, avgdl double, n_groups int, "
+            "phrase_json string")
+        postings = (sx.postings
+                    .filter(F.col("bucket").isin(buckets) &
+                            F.col("term").isin(live_terms)))
+        probe = postings.join(F.broadcast(qterms), "term")
+
+        pos_probe = probe.filter(F.col("kind") == "pos")
+        candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
+            _make_scorer(k, mode, prune, keep_all, combine,
+                         phrase_mode="all"), CANDIDATE_SCHEMA)
+
+    docs = sx.documents
+    # match-all-then-filter queries (filter/negation-only query strings):
+    # every doc passing the filters, constant score 1.0, ranked by doc_id —
+    # the scan is pruned by the filter predicate; when the query has no
+    # negative clauses the per-query top-k is a TakeOrderedAndProject, so
+    # only k rows ever leave the scan stage.
+    for qid in matchall_qids:
+        p = parsed[qid]
+        # match-all ranges over the INDEXED set (status ok), like a search
+        # engine's match_all over its own index
+        d = (docs.filter(F.col("status") == "ok")
+             if "status" in docs.columns else docs)
+        if p.filters:
+            pred = " AND ".join(filter_to_sql(f) for f in p.filters)
+            d = d.filter(F.expr(pred))
+        sel = d.select(F.lit(qid).cast("int").alias("query_id"),
+                       F.col("doc_id").cast("long").alias("doc_id"),
+                       F.lit(1.0).alias("score"))
+        if not (p.not_terms or p.not_phrases):
+            sel = sel.orderBy("doc_id").limit(k)
+        candidates = sel if candidates is None else candidates.unionByName(sel)
+
+    if has_neg and probe is not None:
+        neg_probe = probe.filter(F.col("kind") == "neg")
         neg_docs = neg_probe.groupBy("query_id", "shard").applyInPandas(
             _make_scorer(k, "or", False, True, combine), CANDIDATE_SCHEMA
         ).select("query_id", "doc_id")
-        candidates = candidates.join(neg_docs, ["query_id", "doc_id"],
-                                     "left_anti")
+        negp_probe = probe.filter(F.col("kind") == "negp")
+        negp_docs = negp_probe.groupBy("query_id", "shard").applyInPandas(
+            _make_scorer(k, "or", False, True, combine, phrase_mode="any"),
+            CANDIDATE_SCHEMA
+        ).select("query_id", "doc_id")
+        candidates = candidates.join(neg_docs.unionByName(negp_docs),
+                                     ["query_id", "doc_id"], "left_anti")
 
-    docs = sx.documents
     if has_filters:
         flt_df = None
         for qid, p in parsed.items():

@@ -57,7 +57,15 @@ def test_unknown_terms_and_empty_results(spark, built_index):
     io, _ = built_index
     assert search(spark, io, [(0, "qqqzzzz")], k=5).count() == 0
     assert search(spark, io, [(0, "")], k=5).count() == 0
-    assert search(spark, io, [(0, "-data")], k=5).count() == 0
+    # negation-only query = match-all minus the term's docs (OpenSearch
+    # query_string semantics for pure-prohibit queries)
+    neg = search(spark, io, [(0, "-data")], k=10**6).collect()
+    assert len(neg) > 0
+    with_data = {r["doc_id"] for r in
+                 search(spark, io, [(0, "data")], k=10**6).collect()}
+    n_ok = io.read("documents").filter("status = 'ok'").count()
+    assert len(neg) == n_ok - len(with_data)
+    assert not ({r["doc_id"] for r in neg} & with_data)
 
 
 def test_lang_aware_build_path(spark, tmp_path):

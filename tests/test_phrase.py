@@ -1,0 +1,224 @@
+"""Phrase queries over the positional index + match-all filter queries.
+
+The reference's index stores `term_vector: with_positions_offsets`
+(/root/reference/docs/indices/files.json:93) and its query surface is
+OpenSearch query_string (/root/reference/docs/api.md:4) where quoted phrases
+require adjacency. Our contract (plans/parser.py): quoted phrases are
+required clauses; their terms also score; `-"a b"` excludes phrase matches;
+filter-only queries are match-all-then-filter ranked by doc_id.
+"""
+
+import numpy as np
+import pytest
+
+from ipfs_search_spark.oracle import BM25Oracle
+from ipfs_search_spark.plans.query import Searcher, search
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, pages, tmp_path_factory):
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index
+    d = str(tmp_path_factory.mktemp("isx-pos-index"))
+    io = TableIO(spark, d)
+    stats = build_index(spark, pages, io, n_shards=4, n_buckets=16,
+                        max_bytes=1 << 15, positions=True)
+    assert stats["positional"] is True
+    return io, stats
+
+
+@pytest.fixture(scope="module")
+def oracle(pos_index):
+    io, _ = pos_index
+    docs = io.read("documents").filter("status = 'ok'").select(
+        "doc_id", "text").collect()
+    return BM25Oracle({r["doc_id"]: r["text"] for r in docs})
+
+
+def _run(spark, io, queries, k=10, **kw):
+    out = search(spark, io, queries, k=k, **kw).collect()
+    res = {}
+    for r in out:
+        res.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for v in res.values():
+        v.sort()
+    return res
+
+
+# --- positional codec ------------------------------------------------------
+
+def test_positions_roundtrip_random():
+    from ipfs_search_spark.functions.codec import (
+        decode_block, decode_block_positions, encode_blocks,
+    )
+    rng = np.random.default_rng(11)
+    n = 700
+    ids = np.unique(rng.integers(-2**62, 2**62, n).astype(np.int64))
+    tfs = rng.integers(1, 7, ids.size).astype(np.int64)
+    dls = rng.integers(5, 300, ids.size).astype(np.int64)
+    pos = np.concatenate([
+        np.sort(rng.choice(100000, t, replace=False)) for t in tfs
+    ]).astype(np.int64)
+    starts = np.zeros(ids.size, np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    # shuffled posting order exercises the encoder's internal sort+permute
+    perm = rng.permutation(ids.size)
+    pos_shuf = np.concatenate(
+        [pos[starts[i]:starts[i] + tfs[i]] for i in perm])
+    blocks = encode_blocks(ids[perm], tfs[perm], dls[perm],
+                           positions=pos_shuf, block_size=128)
+    got_ids, got_pos = [], []
+    for b in blocks:
+        i, t, _ = decode_block(b)
+        got_ids.append(i)
+        got_pos.append(decode_block_positions(b, t))
+    order = np.argsort(ids.view(np.uint64))
+    assert (np.concatenate(got_ids) == ids[order]).all()
+    exp = np.concatenate([pos[starts[i]:starts[i] + tfs[i]] for i in order])
+    assert (np.concatenate(got_pos) == exp).all()
+
+
+def test_nonpositional_block_has_null_pos(built_index):
+    io, _ = built_index
+    blk = io.read("postings").select("blocks").first()["blocks"][0]
+    assert blk["pos"] is None
+
+
+# --- phrase rank identity --------------------------------------------------
+
+PHRASE_QUERIES = [
+    (0, '"data spark"'),
+    (1, '"data data"'),
+    (2, '"spark index" data'),
+    (3, '"token page crawl"'),
+    (4, '"data zzzznotaterm"'),
+    (5, 'value "table key"'),
+]
+
+
+def _oracle_phrase(oracle, terms, phrases, k=10, mode="or"):
+    allt = sorted(set(terms) | {t for ph in phrases for t in ph})
+    return oracle.search(allt, k=k, mode=mode, phrases=phrases)
+
+
+def test_phrase_rank_identity(spark, pos_index, oracle):
+    io, _ = pos_index
+    engine = _run(spark, io, PHRASE_QUERIES, k=10)
+    specs = {
+        0: ([], [["data", "spark"]]),
+        1: ([], [["data", "data"]]),
+        2: (["data"], [["spark", "index"]]),
+        3: ([], [["token", "page", "crawl"]]),
+        4: ([], [["data", "zzzznotaterm"]]),
+        5: (["value"], [["table", "key"]]),
+    }
+    n_nonempty = 0
+    for qid, (terms, phrases) in specs.items():
+        expected = _oracle_phrase(oracle, terms, phrases, k=10)
+        got = engine.get(qid, [])
+        assert len(got) == len(expected), (qid, got, expected)
+        for (rank, doc_id, score), (exp_doc, exp_score) in zip(got, expected):
+            assert doc_id == exp_doc, (qid, rank)
+            assert abs(score - exp_score) <= 1e-9, (qid, rank)
+        n_nonempty += bool(expected)
+    # the corpus must actually exercise phrase hits
+    assert n_nonempty >= 2
+
+
+def test_phrase_subset_of_and(spark, pos_index, oracle):
+    """Phrase matches ⊆ AND matches of the same terms."""
+    io, _ = pos_index
+    ph = _run(spark, io, [(0, '"data spark"')], k=10**6).get(0, [])
+    anded = _run(spark, io, [(0, "data spark")], k=10**6,
+                 mode="and").get(0, [])
+    assert {d for _, d, _ in ph} <= {d for _, d, _ in anded}
+    assert len(ph) < len(anded)
+
+
+def test_not_phrase(spark, pos_index, oracle):
+    io, _ = pos_index
+    got = _run(spark, io, [(0, 'data -"data spark"')], k=10**6).get(0, [])
+    got_docs = {d for _, d, _ in got}
+    # oracle: docs scoring 'data' minus docs containing the phrase
+    exp = {key for key, _ in oracle.search(["data"], k=10**9)
+           if not oracle.phrase_match(key, ["data", "spark"])}
+    assert got_docs == exp
+    # and the phrase-matching docs really existed
+    assert any(oracle.phrase_match(k_, ["data", "spark"])
+               for k_ in oracle.tokens)
+
+
+def test_phrase_on_nonpositional_index_raises(spark, built_index):
+    io, _ = built_index
+    with pytest.raises(ValueError, match="positional"):
+        search(spark, io, [(0, '"data spark"')], k=5)
+
+
+def test_single_word_phrase_is_plain_term(spark, pos_index, oracle):
+    io, _ = pos_index
+    a = _run(spark, io, [(0, '"data"')], k=10).get(0, [])
+    b = _run(spark, io, [(0, "data")], k=10).get(0, [])
+    assert a == b
+
+
+# --- match-all / filter-only ----------------------------------------------
+
+def test_match_all_filter_only(spark, pos_index):
+    io, _ = pos_index
+    sx = Searcher(spark, io)
+    got = _run(spark, io, [(0, "lang:en")], k=15).get(0, [])
+    docs = io.read("documents") \
+        .filter("lang = 'en' AND status = 'ok'") \
+        .select("doc_id").collect()
+    exp = sorted(r["doc_id"] for r in docs)[:15]
+    assert [d for _, d, _ in got] == exp
+    assert all(s == 1.0 for _, _, s in got)
+    assert [r for r, _, _ in got] == list(range(1, len(exp) + 1))
+    assert sx.n_docs > 0  # searcher healthy on the same tables
+
+
+def test_match_all_with_negation(spark, pos_index, oracle):
+    io, _ = pos_index
+    got = _run(spark, io, [(0, "lang:en -data")], k=10**6).get(0, [])
+    docs = {r["doc_id"]: r for r in io.read("documents")
+            .filter("lang = 'en' AND status = 'ok'")
+            .select("doc_id").collect()}
+    exp = sorted(d for d in docs
+                 if d not in oracle.tf or "data" not in oracle.tf[d])
+    assert [d for _, d, _ in got] == exp
+
+
+def test_match_all_mixed_batch(spark, pos_index, oracle):
+    """A batch mixing scored, phrase, and match-all queries keeps each
+    query's semantics."""
+    io, _ = pos_index
+    engine = _run(spark, io, [(0, "data"), (1, "lang:de"),
+                              (2, '"data spark"')], k=5)
+    exp0 = oracle.search(["data"], k=5)
+    assert [d for _, d, _ in engine.get(0, [])] == [d for d, _ in exp0]
+    de = sorted(r["doc_id"] for r in io.read("documents")
+                .filter("lang = 'de' AND status = 'ok'")
+                .select("doc_id").collect())[:5]
+    assert [d for _, d, _ in engine.get(1, [])] == de
+    exp2 = _oracle_phrase(oracle, [], [["data", "spark"]], k=5)
+    assert [d for _, d, _ in engine.get(2, [])] == [d for d, _ in exp2]
+
+
+# --- compaction keeps positions -------------------------------------------
+
+def test_merge_term_shards_preserves_positions(spark, pos_index):
+    from ipfs_search_spark.functions.codec import (
+        decode_block, decode_block_positions,
+    )
+    from ipfs_search_spark.operators.index_build import merge_term_shards
+    io, _ = pos_index
+    merged = merge_term_shards(io.read("postings").filter("term = 'data'"))
+    row = merged.collect()[0]
+    total = 0
+    for blk in row["blocks"]:
+        ids, tfs, _ = decode_block(blk)
+        pos = decode_block_positions(blk, tfs)
+        assert pos.size == tfs.sum()
+        total += ids.size
+    assert total == row["df_part"]
