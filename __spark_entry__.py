@@ -552,6 +552,23 @@ def q_ann_cosine(spark, sf_dir):
     return brute_force_topk(emb, qvec, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (spherical k-means coarse quantizer, n_probe cells scanned,
+    exact re-rank inside) — rows-only check: k-means training is not
+    SQL-expressible; recall vs brute force is asserted in
+    tests/test_dedup_similarity.py."""
+    from ipfs_search_spark.operators.similarity import (
+        add_ivf_cells, ivf_topk, train_ivf_centroids,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=1024, iters=8)
+    cells = add_ivf_cells(emb, cents)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .collect()[0][0]]
+    return ivf_topk(cells, cents, qvec, k=10, n_probe=3)
+
+
 def q_embed_neardup(spark, sf_dir):
     from ipfs_search_spark.operators.similarity import cosine_neardup_pairs
     emb = _t(spark, sf_dir, "embeddings")
@@ -676,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_neardup": q_lsh_neardup,
         "q_simhash_neardup": q_simhash_neardup,
         "q_ann_cosine": q_ann_cosine,
+        "q_ann_ivf": q_ann_ivf,
         "q_embed_neardup": q_embed_neardup,
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,

@@ -123,6 +123,37 @@ def bench_queries(spark, io) -> dict[str, float]:
     return lat
 
 
+PHRASE_MIX = [
+    (0, '"data spark"'),
+    (1, 'merge "data spark"'),
+    (2, 'data -"data spark"'),
+]
+
+
+def bench_positional(spark, workdir: str) -> dict[str, float]:
+    """Positional build (term positions per posting) + phrase-query latency
+    over the same stored pages corpus — the phrase surface's cost relative
+    to the non-positional headline build."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index
+    from ipfs_search_spark.plans.query import Searcher
+
+    pages = spark.read.parquet(os.environ["SPARK_GRAFT_PAGES_DIR"])
+    posdir = os.path.join(workdir, "pos_index")
+    io = TableIO(spark, posdir)
+    t0 = time.monotonic()
+    build_index(spark, pages, io, n_shards=max(4, CPUS // 4), n_buckets=64,
+                positions=True)
+    out = {"index_build_positional": round(time.monotonic() - t0, 3)}
+    sx = Searcher(spark, io)
+    sx.search(PHRASE_MIX[:1], k=10).collect()  # warm
+    for qid, qs in PHRASE_MIX:
+        t0 = time.monotonic()
+        sx.search([(qid, qs)], k=10).collect()
+        out[f"phrase_q{qid}"] = round(time.monotonic() - t0, 4)
+    return out
+
+
 def bench_table_ops(spark) -> dict[str, float]:
     import __spark_entry__ as e
     ops = ["q_tpch_pricing", "q_latest_wins", "q_term_stats",
@@ -188,6 +219,8 @@ def write_bench_md(payload: dict) -> None:
         f"| index build (docs/sec, local[{CPUS}]) | "
         f"{payload['docs_per_sec']} |",
         f"| index build wall (sec) | {payload['queries']['index_build']} |",
+        f"| positional index build wall (sec) | "
+        f"{payload['queries'].get('index_build_positional', 'n/a')} |",
         f"| BM25 query p50 (sec) | {payload['p50_query_sec']} |",
     ]
     sc = payload.get("scaling")
@@ -250,6 +283,7 @@ def main() -> None:
         docs_per_sec = round(n_docs / secs, 1)
         io = TableIO(spark, workdir)
         queries.update(bench_queries(spark, io))
+        queries.update(bench_positional(spark, workdir))
         queries.update(bench_table_ops(spark))
     finally:
         spark.stop()

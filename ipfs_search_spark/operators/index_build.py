@@ -170,12 +170,20 @@ def _make_encoder(block_size: int):
     return encode_group
 
 
-def compute_doc_stats(docs: DataFrame) -> tuple[int, float]:
+def compute_doc_stats(docs: DataFrame,
+                      lang_aware: bool = False) -> tuple[int, float]:
     """Exact N and avgdl over indexable docs (dl > 0). When the documents
     table carries the stored `dl` column (canonical_documents writes it),
     this is a trivial column agg — no re-tokenize pass. Identity-path
-    exactness — no sketches (SURVEY.md §7 hard part 2)."""
-    if "dl" in docs.columns:
+    exactness — no sketches (SURVEY.md §7 hard part 2).
+
+    lang_aware builds must NOT trust a stored dl (it was counted with the
+    canonical analyzer; the CJK branch tokenizes differently) — they
+    re-count through the lang-aware UDF."""
+    if lang_aware:
+        from ipfs_search_spark.functions.tokenize import tokenize_udf
+        dl = F.size(tokenize_udf(F.col("text"), F.col("lang")))
+    elif "dl" in docs.columns:
         dl = F.col("dl")
     else:
         from ipfs_search_spark.functions.tokenize import tokens_array
@@ -199,13 +207,9 @@ def build_postings(docs: DataFrame, n_shards: int = 8,
     corpus stats needed — block-max metadata is avgdl-independent.
 
     positions=True writes the positional payload (per-posting token indexes,
-    delta+varbyte) into each block — required for phrase queries. The
-    positional branch uses the lang-unaware JVM tokenizer path only when
-    lang_aware is False (posexplode is JVM-side either way)."""
-    if positions and lang_aware:
-        raise NotImplementedError(
-            "positional index with the lang-aware (CJK) analyzer is not "
-            "implemented; build with lang_aware=False for phrase support")
+    delta+varbyte) into each block — required for phrase queries. Works with
+    both analyzer paths (posexplode runs over the token array either way, so
+    the lang-aware CJK analyzer keeps per-codepoint positions)."""
     ok = docs.filter(F.col("status") == "ok")
     tokens = doc_tokens(ok, doc_col="doc_id", text_col="text",
                         lang_col="lang" if lang_aware else None,
@@ -235,16 +239,17 @@ def build_index(spark: SparkSession, pages: DataFrame, io: TableIO,
 def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
                           n_shards: int = 8, n_buckets: int = 64,
                           block_size: int = BLOCK_SIZE,
-                          positions: bool = False) -> dict:
+                          positions: bool = False,
+                          lang_aware: bool = False) -> dict:
     """Build the index from an already-canonical documents DataFrame
     (url, doc_id, text, lang, status[, ...]) — e.g. an external corpus whose
     doc_ids must be preserved. Same artifacts as build_index."""
     io.write(docs, "documents")
     docs = io.read("documents")
-    n_docs, avgdl = compute_doc_stats(docs)
+    n_docs, avgdl = compute_doc_stats(docs, lang_aware=lang_aware)
     postings = build_postings(docs, n_shards=n_shards,
                               n_buckets=n_buckets, block_size=block_size,
-                              positions=positions)
+                              positions=positions, lang_aware=lang_aware)
     # co-locate each bucket into one task before the partitioned write: one
     # output file per bucket instead of (tasks × buckets) fragments — the
     # commit protocol's file-listing/rename cost is serial on the driver

@@ -111,3 +111,32 @@ def test_cosine_neardup_blocked(spark, vectors):
     pairs = cosine_neardup_pairs(df, "label", threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 9000) in got
+
+
+def test_ivf_topk_recall_and_determinism(spark, vectors):
+    from ipfs_search_spark.operators.similarity import (
+        add_ivf_cells, ivf_topk, train_ivf_centroids,
+    )
+    c1 = train_ivf_centroids(vectors, n_centroids=8, sample=256, iters=8)
+    c2 = train_ivf_centroids(vectors, n_centroids=8, sample=256, iters=8)
+    assert c1 == c2  # deterministic training (seeded hash-ordered sample)
+    cells = add_ivf_cells(vectors, c1).cache()
+    spread = cells.select("ivf_cell").distinct().count()
+    assert spread >= 6  # the quantizer actually partitions the space
+    hits = 0
+    for qid in [3, 50, 120]:
+        q = [float(x) for x in
+             vectors.filter(f"vec_id = {qid}").collect()[0]["embedding"]]
+        brute = [r["vec_id"] for r in brute_force_topk(vectors, q, 5).collect()]
+        approx = [r["vec_id"] for r in
+                  ivf_topk(cells, c1, q, k=5, n_probe=3).collect()]
+        hits += len(set(brute) & set(approx))
+    assert hits >= 9  # ≥60% recall@5 probing 3/8 cells
+    # n_probe = n_centroids degenerates to exact search
+    for qid in [3, 120]:
+        q = [float(x) for x in
+             vectors.filter(f"vec_id = {qid}").collect()[0]["embedding"]]
+        brute = [r["vec_id"] for r in brute_force_topk(vectors, q, 5).collect()]
+        full = [r["vec_id"] for r in
+                ivf_topk(cells, c1, q, k=5, n_probe=8).collect()]
+        assert brute == full

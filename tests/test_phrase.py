@@ -205,6 +205,32 @@ def test_match_all_mixed_batch(spark, pos_index, oracle):
     assert [d for _, d, _ in engine.get(2, [])] == [d for d, _ in exp2]
 
 
+# --- CJK (lang-aware) positional build ------------------------------------
+
+def test_cjk_phrase(spark, tmp_path):
+    """Lang-aware positional build: each Han codepoint is a token, so a CJK
+    word query is a phrase of adjacent single-char terms."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+    docs = spark.createDataFrame(
+        [("a", 1, "搜索 引擎 engine", "zh", "ok"),
+         ("b", 2, "索搜 reversed 引擎", "zh", "ok"),
+         ("c", 3, "plain engine text", "en", "ok")],
+        "url string, doc_id long, text string, lang string, status string")
+    io = TableIO(spark, str(tmp_path / "cjkpos"))
+    stats = build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=4,
+                                  positions=True, lang_aware=True)
+    assert stats["positional"]
+    hits = _run(spark, io, [(0, '"搜索"'), (1, "搜"), (2, '"引擎" engine')],
+                k=10)
+    # phrase "搜索" matches only doc 1 (adjacent 搜,索); doc 2 has them reversed
+    assert [d for _, d, _ in hits.get(0, [])] == [1]
+    # single char matches both CJK docs
+    assert {d for _, d, _ in hits.get(1, [])} == {1, 2}
+    # phrase 引擎 adjacent in docs 1 and 2; 'engine' also scores
+    assert {d for _, d, _ in hits.get(2, [])} == {1, 2}
+
+
 # --- compaction keeps positions -------------------------------------------
 
 def test_merge_term_shards_preserves_positions(spark, pos_index):
