@@ -95,7 +95,8 @@ def checkpointed_postings_build(spark: SparkSession, io: TableIO,
                                 build_id: str, n_buckets: int,
                                 n_shards: int = 8,
                                 block_size: int = 128,
-                                buckets_per_step: int = 8) -> dict:
+                                buckets_per_step: int = 8,
+                                positions: bool = False) -> dict:
     """Resumable postings build over the term-bucket domain.
 
     Two checkpointed phases so a resume never repeats the expensive work:
@@ -114,7 +115,7 @@ def checkpointed_postings_build(spark: SparkSession, io: TableIO,
 
     if f"tokens:{build_id}" not in {p for p in cb.completed()}:
         docs = io.read("documents").filter(F.col("status") == "ok")
-        tokens = (doc_tokens(docs)
+        tokens = (doc_tokens(docs, positions=positions)
                   .withColumn("shard", F.pmod(F.xxhash64("doc_id"),
                                               F.lit(n_shards)).cast("int"))
                   .withColumn("bucket", F.pmod(F.xxhash64("term"),

@@ -41,11 +41,17 @@ def sniffer_stream(pages_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["url"]))
 
 
-def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64):
+def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
+                                 positions: bool = False):
     """foreachBatch hook: each micro-batch of new pages is appended to the
     documents table and its postings are built and appended as a new segment
     (Lucene-style segment-per-flush; compaction = merge_term_shards). Returns
-    a function suitable for writeStream.foreachBatch."""
+    a function suitable for writeStream.foreachBatch.
+
+    `positions` must match the base index's positional flag: phrase queries
+    decode positions across the base∪segments union, so a positional base
+    needs positional segments (a mismatch raises a clear codec error at
+    query time, never a wrong result)."""
     from ipfs_search_spark.operators.index_build import (
         build_postings, canonical_documents, compute_doc_stats,
     )
@@ -68,7 +74,7 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64):
             return
         io.append_atomic(docs, "documents")
         postings = build_postings(docs, n_shards=n_shards,
-                                  n_buckets=n_buckets)
+                                  n_buckets=n_buckets, positions=positions)
         io.append_atomic(postings.withColumn("segment_id", F.lit(batch_id)),
                          "posting_segments")
 

@@ -83,3 +83,27 @@ def test_checkpointed_index_matches_direct(spark, pages, tmp_io, built_index):
             for r in a] == \
            [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
             for r in b]
+
+
+def test_checkpointed_positional_build_has_positions(spark, pages, tmp_io):
+    """The resumable bucket-sliced build writes positional blocks when asked;
+    a resume skips completed steps and the result decodes positions."""
+    from ipfs_search_spark.checkpoints import checkpointed_postings_build
+    from ipfs_search_spark.functions.codec import (
+        decode_block, decode_block_positions,
+    )
+    from ipfs_search_spark.operators.index_build import canonical_documents
+
+    io = tmp_io
+    io.write(canonical_documents(pages), "documents")
+    rep1 = checkpointed_postings_build(spark, io, "bpos", n_buckets=8,
+                                       n_shards=2, buckets_per_step=4,
+                                       positions=True)
+    assert all(not v.get("skipped") for v in rep1.values())
+    rep2 = checkpointed_postings_build(spark, io, "bpos", n_buckets=8,
+                                       n_shards=2, buckets_per_step=4,
+                                       positions=True)
+    assert all(v.get("skipped") for v in rep2.values())
+    blk = io.read("postings_ckpt").select("blocks").first()["blocks"][0]
+    _, tfs, _ = decode_block(blk)
+    assert decode_block_positions(blk, tfs).size == tfs.sum()

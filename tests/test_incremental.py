@@ -57,3 +57,28 @@ def test_resighted_urls_not_reindexed(spark):
     handle(pages.limit(50), batch_id=7)  # all urls already known
     assert io.read("documents").count() == n_docs_before
     assert not io.exists("posting_segments")  # nothing new → no segment
+
+
+def test_positional_segments_phrase_over_union(spark):
+    """Phrase queries spanning base + streamed positional segments match a
+    from-scratch positional rebuild."""
+    all_pages = pages_df(spark, n=300, seed=33).cache()
+    base = all_pages.limit(200).cache()
+    rest = all_pages.subtract(base).cache()
+
+    io_inc = TableIO(spark, tempfile.mkdtemp(prefix="isx-incpos-"))
+    build_index(spark, base, io_inc, n_shards=4, n_buckets=16,
+                positions=True)
+    handle = incremental_index_microbatch(io_inc, n_shards=4, n_buckets=16,
+                                          positions=True)
+    handle(rest, batch_id=1)
+
+    io_full = TableIO(spark, tempfile.mkdtemp(prefix="isx-fullpos-"))
+    build_index(spark, all_pages, io_full, n_shards=4, n_buckets=16,
+                positions=True)
+
+    phrase_qs = [(0, '"data spark"'), (1, 'value "table key"')]
+    inc = _results(Searcher(spark, io_inc), queries=phrase_qs)
+    full = _results(Searcher(spark, io_full), queries=phrase_qs)
+    assert inc == full
+    assert any(inc.values())  # phrase actually matched something
