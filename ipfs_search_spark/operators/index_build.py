@@ -277,7 +277,8 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
 
 def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
                         fields: dict, n_shards: int = 8, n_buckets: int = 64,
-                        block_size: int = BLOCK_SIZE) -> dict:
+                        block_size: int = BLOCK_SIZE,
+                        positions: bool = False) -> dict:
     """Multi-field index — the reference's default_field surface: OpenSearch
     searches 15 analyzed fields per query_string
     (/root/reference/docs/indices/files.json:10-37). Posting keys are
@@ -297,10 +298,13 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
     tokens = None
     fstats_rows = []
     for fld, col in sorted(fields.items()):
-        t = doc_tokens(ok, doc_col="doc_id", text_col=col)
-        t = t.select("doc_id", "dl",
-                     F.concat(F.lit(fld + ":"), F.col("term")).alias("term"),
-                     "tf")
+        t = doc_tokens(ok, doc_col="doc_id", text_col=col,
+                       positions=positions)
+        sel = ["doc_id", "dl",
+               F.concat(F.lit(fld + ":"), F.col("term")).alias("term"), "tf"]
+        if positions:
+            sel.append("positions")  # token indexes WITHIN the field
+        t = t.select(*sel)
         tokens = t if tokens is None else tokens.unionByName(t)
         frow = (ok.select(F.size(tokens_array(F.col(col))).alias("dl"))
                 .filter(F.col("dl") > 0)
@@ -327,7 +331,7 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
              "field_stats")
     n_docs = ok.count()
     io.write(spark.createDataFrame(
-        [(n_docs, 0.0, n_shards, n_buckets, block_size, False)],
+        [(n_docs, 0.0, n_shards, n_buckets, block_size, bool(positions))],
         "n_docs long, avgdl double, n_shards int, n_buckets int, "
         "block_size int, positional boolean"), "index_stats")
     return {"n_docs": n_docs,

@@ -133,12 +133,20 @@ class BM25FOracle:
                 total += s
         return total
 
+    def phrase_match(self, key, phrase: list[str]) -> bool:
+        """True iff ANY field's token sequence contains the phrase adjacent
+        (multi-field phrase semantics)."""
+        return any(o.phrase_match(key, phrase)
+                   for o in self.oracles.values())
+
     def search(self, terms: list[str], boosts: dict, k: int = 10,
-               combine: str = "max", mode: str = "or") -> list[tuple]:
+               combine: str = "max", mode: str = "or",
+               phrases: list | None = None) -> list[tuple]:
         keys = set()
         for o in self.oracles.values():
             keys |= set(o.tf)
         uniq = sorted(set(terms))
+        phrases = phrases or []
         hits = []
         for key in keys:
             present = [t for t in uniq
@@ -147,6 +155,8 @@ class BM25FOracle:
             if not present:
                 continue
             if mode == "and" and len(present) != len(uniq):
+                continue
+            if any(not self.phrase_match(key, ph) for ph in phrases):
                 continue
             hits.append((key, self.score(key, uniq, boosts, combine)))
         hits.sort(key=lambda x: (-x[1], x[0]))

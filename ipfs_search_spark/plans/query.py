@@ -115,13 +115,16 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
     matching the oracle). Single-field indexes have one row per group, so
     both combines degenerate to the original exact BM25 sum.
 
-    phrase_mode (reads the per-query `phrase_json` column, a JSON list of
-    phrases, each a list of terms):
-      'all' — positive path: docs must contain EVERY phrase (quoted phrases
+    phrase_mode (reads the per-query `phrase_json` column — a JSON list of
+    phrase GROUPS; each group is a list of VARIANTS; each variant a list of
+    posting terms. A doc satisfies a group iff it matches ANY variant
+    (fielded search expands one quoted phrase into one variant per field);
+    single-field indexes have exactly one variant per group):
+      'all' — positive path: docs must satisfy EVERY group (quoted phrases
               are required clauses); applied before the per-shard top-k cut,
               so the cut stays sound. Disables block pruning for the group
               (skipped blocks would lose position data and bias θ).
-      'any' — negative path: emit docs containing ANY phrase (the caller
+      'any' — negative path: emit docs satisfying ANY group (the caller
               anti-joins them away); scores are not meaningful."""
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import json as _json
@@ -139,7 +142,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             pj = pdf["phrase_json"].iloc[0]
             if pj:
                 phrases = _json.loads(pj)
-        phrase_terms = {t for ph in phrases for t in ph}
+        phrase_terms = {t for grp in phrases for var in grp for t in var}
         pos_acc: dict = {t: [] for t in phrase_terms}
         avgdls = pdf["avgdl"].to_numpy(dtype=np.float64)
         idfs = pdf["idf"].to_numpy(dtype=np.float64) * \
@@ -251,7 +254,13 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     tfs_c = np.concatenate([x[1] for x in lst])
                     pos_c = np.concatenate([x[2] for x in lst])
                     pos_data[t] = (np.repeat(ids_c, tfs_c), pos_c)
-            matched = [_match_phrase(pos_data, ph) for ph in phrases]
+            # a group matches a doc iff ANY of its variants matches
+            matched = [
+                (np.unique(np.concatenate(
+                    [_match_phrase(pos_data, var) for var in grp]))
+                 if grp else np.empty(0, np.int64))
+                for grp in phrases
+            ]
             if phrase_mode == "any":
                 docs_any = (np.unique(np.concatenate(matched)) if matched
                             else np.empty(0, np.int64))
@@ -382,14 +391,10 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
     has_any_phrase = any(p.phrases or p.not_phrases for p in parsed.values())
-    if has_any_phrase:
-        if fields:
-            raise NotImplementedError(
-                "phrase queries over a fielded index are not supported")
-        if not sx.positional:
-            raise ValueError(
-                "phrase query requires a positional index "
-                "(build_index(..., positions=True))")
+    if has_any_phrase and not sx.positional:
+        raise ValueError(
+            "phrase query requires a positional index "
+            "(build_index(..., positions=True))")
     matchall_qids = sorted(q for q, p in parsed.items() if p.match_all)
     base_terms = sorted({t for p in parsed.values()
                          for t in (p.terms + p.not_terms +
@@ -417,18 +422,36 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     # kind = pos (scoring) / neg (NOT term) / negp (NOT-phrase term);
     # phrase_json = the query's phrase spec for the matching pass.
     import json as _json
+
+    def phrase_groups(phrs):
+        """Each phrase → a group of posting-term variants: one variant per
+        field on fielded indexes (a doc satisfies the phrase if ANY field
+        contains the adjacency — OpenSearch multi-field phrase semantics),
+        one bare variant on single-field indexes. A variant only exists
+        where every phrase term is in that (field's) vocabulary."""
+        groups = []
+        for ph in phrs:
+            if fields:
+                vars_ = [[f"{fld}:{t}" for t in ph]
+                         for fld in sorted(fields)
+                         if all(f"{fld}:{t}" in tstats for t in ph)]
+            else:
+                vars_ = [list(ph)] if all(t in tstats for t in ph) else []
+            groups.append(vars_)
+        return groups
+
     qterm_rows = []
     for qid, p in parsed.items():
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
-        # quoted phrases are required clauses: a phrase term absent from the
-        # index means the phrase (hence the query) cannot match
-        if p.phrases and any(not variants(t)
-                             for ph in p.phrases for t in ph):
+        # quoted phrases are required clauses: a group with no live variant
+        # (a term absent from every field's vocabulary) cannot match, so the
+        # whole query returns nothing
+        pos_groups = phrase_groups(p.phrases)
+        if p.phrases and any(not g for g in pos_groups):
             continue
-        phrase_json = _json.dumps(p.phrases) if p.phrases else ""
-        live_np = [ph for ph in p.not_phrases
-                   if all(variants(t) for t in ph)]
+        phrase_json = _json.dumps(pos_groups) if p.phrases else ""
+        live_np = [g for g in phrase_groups(p.not_phrases) if g]
         negp_json = _json.dumps(live_np) if live_np else ""
         if not p.match_all:
             for t in pos:
@@ -447,10 +470,10 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 qterm_rows.append((qid, ft, 0.0, "neg", 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
                                    len(pos), ""))
-        for t in sorted({t for ph in live_np for t in ph}):
-            for fld, ft in variants(t):
-                qterm_rows.append((qid, ft, 0.0, "negp", 1.0, t, avgdl,
-                                   len(pos), negp_json))
+        for ft in sorted({t for g in live_np for var in g for t in var}):
+            # variants already carry posting-term keys (fielded or bare)
+            qterm_rows.append((qid, ft, 0.0, "negp", 1.0, ft, avgdl,
+                               len(pos), negp_json))
     if not qterm_rows and not matchall_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")

@@ -34,7 +34,7 @@ def fielded(spark, tmp_path_factory):
     io = TableIO(spark, str(tmp_path_factory.mktemp("fielded-ix")))
     build_fielded_index(spark, docs, io,
                         fields={"title": "title", "content": "content"},
-                        n_shards=4, n_buckets=16)
+                        n_shards=4, n_buckets=16, positions=True)
     oracle = BM25FOracle({
         "title": {i: t for _, i, t, _, _, _ in rows},
         "content": {i: c for _, i, _, c, _, _ in rows},
@@ -90,3 +90,56 @@ def test_title_boost_changes_ranking(spark, fielded):
     io, oracle = fielded
     top = oracle.search(["title"], BOOSTS, k=3, combine="max")
     assert top  # the word 'title' exists in the corpus
+
+
+@pytest.mark.parametrize("combine", ["max", "sum"])
+def test_fielded_phrase_rank_identity(spark, fielded, combine):
+    """Quoted phrase over a fielded positional index: the phrase matches if
+    ANY field contains the adjacency; scores follow the fielded combine."""
+    io, oracle = fielded
+    queries = [(0, '"data spark"'), (1, 'merge "data spark"'),
+               (2, '"spark zzznotaword"')]
+    engine = _run(spark, io, combine, queries=queries)
+    specs = {0: ([], [["data", "spark"]]),
+             1: (["merge"], [["data", "spark"]]),
+             2: ([], [["spark", "zzznotaword"]])}
+    n_hits = 0
+    for qid, (terms, phrases) in specs.items():
+        allt = sorted(set(terms) | {t for ph in phrases for t in ph})
+        expected = oracle.search(allt, BOOSTS, k=10, combine=combine,
+                                 phrases=phrases)
+        got = engine.get(qid, [])
+        assert len(got) == len(expected), (qid, got, expected)
+        for (rank, doc_id, score), (exp_doc, exp_score) in zip(got, expected):
+            assert doc_id == exp_doc, (qid, rank)
+            assert abs(score - exp_score) <= 1e-9, (qid, rank)
+        n_hits += bool(expected)
+    assert n_hits >= 2
+
+
+def test_fielded_phrase_per_field_adjacency(spark, tmp_path):
+    """Adjacency in ANY single field matches; split across fields or
+    reversed does not."""
+    from ipfs_search_spark.operators.index_build import build_fielded_index
+    docs = spark.createDataFrame(
+        [("1", 1, "alpha beta x", "beta alpha y", "en", "ok"),   # title adj
+         ("2", 2, "x alpha", "y alpha beta", "en", "ok"),        # content adj
+         ("3", 3, "alpha x", "y beta", "en", "ok"),              # split
+         ("4", 4, "beta alpha", "beta x alpha", "en", "ok")],    # reversed
+        "url string, doc_id long, title string, content string, "
+        "lang string, status string")
+    io = TableIO(spark, str(tmp_path / "fph"))
+    build_fielded_index(spark, docs, io,
+                        fields={"title": "title", "content": "content"},
+                        n_shards=2, n_buckets=4, positions=True)
+    got = _run(spark, io, "max", queries=[(0, '"alpha beta"')], k=10)
+    assert {d for _, d, _ in got.get(0, [])} == {1, 2}
+
+
+def test_fielded_not_phrase(spark, fielded):
+    io, oracle = fielded
+    got = _run(spark, io, "max", queries=[(0, 'data -"data spark"')],
+               k=10**6)
+    docs = {d for _, d, _ in got.get(0, [])}
+    assert docs  # something survives
+    assert not any(oracle.phrase_match(d, ["data", "spark"]) for d in docs)
