@@ -25,10 +25,11 @@ import re
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_TITLE_RE = re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
 _BLOCK_RE = re.compile(
     r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|title|head|body|html|"
     r"section|article|header|footer|blockquote|pre)\b[^>]*/?>"
@@ -64,9 +65,49 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return extract_series(html)
 
 
+def extract_title_str(html: str) -> str:
+    """<title> content through the same normalization pipeline (the
+    reference's Tika sidecar emits title into the metadata map,
+    /root/reference/components/index/types/file.go:11)."""
+    m = _TITLE_RE.search(html)
+    if not m:
+        return ""
+    s = _TAG_RE.sub("", m.group(1))
+    s = html_mod.unescape(s)
+    s = s.replace("\xa0", " ").replace("\r", " ").replace("\t", " ")
+    return _SPACES_RE.sub(" ", s.replace("\n", " ")).strip()
+
+
+_DOC_SCHEMA = StructType([
+    StructField("text", StringType()),
+    StructField("title", StringType()),
+])
+
+
+@pandas_udf(_DOC_SCHEMA)
+def extract_doc_udf(html: pd.Series) -> pd.DataFrame:
+    """One Arrow pass over the html bytes → (text, title) — the extractor
+    chain of the reference (Tika emits content + a metadata map in a single
+    sidecar call; two separate UDFs would scan every page twice)."""
+    texts, titles = [], []
+    for b in html:
+        if b is None:
+            texts.append("")
+            titles.append("")
+            continue
+        s = bytes(b).decode("utf-8", errors="replace")
+        texts.append(extract_text_str(s))
+        titles.append(extract_title_str(s))
+    return pd.DataFrame({"text": texts, "title": titles})
+
+
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
-                        max_bytes: int | None = None, status_col: str | None = None):
-    """Attach extracted text; optionally classify oversize/empty rows.
+                        max_bytes: int | None = None,
+                        status_col: str | None = None,
+                        metadata_col: str | None = None):
+    """Attach extracted text; optionally classify oversize/empty rows and
+    attach a metadata map (title, Content-Type — the reference's dynamic
+    metadata island, /root/reference/docs/indices/files.json:117-118).
 
     Mirrors the reference's ValidateMaxSize → invalid path
     (/root/reference/components/extractor/util.go:15-29, crawler/index.go:63-68):
@@ -75,13 +116,34 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
     The length gate is a JVM-side filter so Catalyst can prune before the UDF.
     """
     html = F.col(html_col)
-    if max_bytes is None:
-        extracted = extract_text_udf(html)
-        return df.withColumn(out_col, extracted)
-    ok = F.length(html) <= F.lit(max_bytes)
-    out = df.withColumn(
-        out_col, F.when(ok, extract_text_udf(html)).otherwise(F.lit(None))
-    )
+    if metadata_col is None:
+        if max_bytes is None:
+            return df.withColumn(out_col, extract_text_udf(html))
+        ok = F.length(html) <= F.lit(max_bytes)
+        out = df.withColumn(
+            out_col, F.when(ok, extract_text_udf(html)).otherwise(F.lit(None))
+        )
+    else:
+        ok = (F.length(html) <= F.lit(max_bytes)) if max_bytes is not None \
+            else F.lit(True)
+        out = df.withColumn(
+            "_ex", F.when(ok, extract_doc_udf(html)).otherwise(F.lit(None)))
+        out = out.withColumn(out_col, F.col("_ex.text")).withColumn(
+            metadata_col,
+            F.when(
+                F.col("_ex.title").isNotNull() & (F.col("_ex.title") != ""),
+                F.create_map(
+                    F.lit("title"), F.col("_ex.title"),
+                    F.lit("Content-Type"),
+                    F.lit("text/html; charset=utf-8")),
+            ).when(
+                F.col("_ex").isNotNull(),
+                F.create_map(F.lit("Content-Type"),
+                             F.lit("text/html; charset=utf-8")),
+            ).otherwise(F.lit(None).cast("map<string,string>")),
+        ).drop("_ex")
+        if max_bytes is None:
+            return out
     if status_col:
         out = out.withColumn(
             status_col,

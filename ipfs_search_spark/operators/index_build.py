@@ -97,7 +97,8 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
               .filter(F.col("_rn") == 1).drop("_rn"))
     if extract:
         latest = with_extracted_text(
-            latest.drop("text"), max_bytes=max_bytes, status_col="status")
+            latest.drop("text"), max_bytes=max_bytes, status_col="status",
+            metadata_col="metadata")
     else:
         latest = latest.withColumn(
             "status",
@@ -109,6 +110,9 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
     # dl (BM25 doc length) is computed HERE, in the same pass that writes the
     # documents table — corpus stats (N, avgdl) then cost one trivial agg of
     # a stored column instead of a full re-tokenize pass over the text.
+    if "metadata" not in latest.columns:
+        latest = latest.withColumn(
+            "metadata", F.lit(None).cast("map<string,string>"))
     return (latest
             .withColumn("doc_id", F.xxhash64("url"))
             .withColumn("size", F.length("html").cast("long"))
@@ -116,7 +120,7 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
                                      F.size(tokens_array(F.col("text"))))
                         .otherwise(F.lit(0)).cast("int"))
             .select("url", "doc_id", "first_seen", "last_seen", "size",
-                    "text", "lang", "status", "dl"))
+                    "text", "lang", "status", "dl", "metadata"))
 
 
 def _make_encoder(block_size: int):

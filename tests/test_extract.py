@@ -45,3 +45,44 @@ def test_udf_matches_golden_and_classifies(spark, pages):
     # oversize rows are NOT extracted (UDF short-circuited by the JVM filter)
     assert out.filter((F.col("status") == "invalid_too_large")
                       & F.col("text").isNotNull()).count() == 0
+
+
+def test_metadata_title_extraction(spark, pages):
+    """canonical_documents populates the metadata map: title == the first
+    text line (fixtures render paragraph 0 into <title>), Content-Type
+    constant; no metadata for pages that failed extraction."""
+    from ipfs_search_spark.operators.index_build import canonical_documents
+    docs = canonical_documents(pages, max_bytes=1 << 15).collect()
+    n_titled = 0
+    for r in docs:
+        if r["status"] == "ok" and r["text"]:
+            assert r["metadata"] is not None, r["url"]
+            assert r["metadata"]["Content-Type"].startswith("text/html")
+            exp_title = r["text"].split("\n", 1)[0]
+            assert r["metadata"].get("title", "") == exp_title, r["url"]
+            n_titled += 1
+        elif r["status"] == "invalid_too_large":
+            assert r["metadata"] is None
+    assert n_titled > 500
+
+
+def test_fielded_index_on_extracted_title(spark, pages, tmp_path):
+    """End-to-end: real extracted <title> metadata feeds the fielded
+    (title/content) index — the reference's metadata.title default_field."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import (
+        build_fielded_index, canonical_documents,
+    )
+    from ipfs_search_spark.plans.query import Searcher
+    docs = canonical_documents(pages, max_bytes=1 << 15).withColumn(
+        "title", F.element_at("metadata", "title"))
+    io = TableIO(spark, str(tmp_path / "meta-fielded"))
+    build_fielded_index(spark, docs.filter("status = 'ok'"), io,
+                        fields={"title": "title", "content": "text"},
+                        n_shards=2, n_buckets=8)
+    sx = Searcher(spark, io)
+    out = sx.search([(0, "data")], k=5,
+                    fields={"title": 2.0, "content": 1.0},
+                    combine="max").collect()
+    assert len(out) == 5
+    assert out[0]["score"] > 0
