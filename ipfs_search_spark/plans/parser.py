@@ -13,6 +13,8 @@ Supported grammar (superset of what the reference's own doc examples use):
   -term           NOT term (left-anti on the term's doc set)
   -"a b"          NOT phrase (docs containing the exact phrase are excluded)
   field:value     equality filter (lang, status, url)
+  references.name:value              inbound-edge filter (any reference
+                                     whose name matches — docs/api.md:4)
   last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
   size:>N, size:<N                   numeric range filter
 
@@ -36,7 +38,7 @@ def _analyze(tok: str) -> list[str]:
     return tokenize_str(tok, "zh" if _CJK_ANY_RE.search(tok) else "en")
 
 _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
-                  "first-seen", "first_seen", "size"}
+                  "first-seen", "first_seen", "size", "references.name"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
 _TOKEN_RE = re.compile(r'-?"[^"]*"|\S+')
 
@@ -135,6 +137,12 @@ def filter_to_sql(flt: Filter) -> str:
             raise QueryParseError(
                 f"invalid size filter value {flt.value!r}: expected integer")
         rhs = flt.value
+    elif fld == "references.name":
+        # inbound-edge filter (the reference API's `references.name:epub`,
+        # /root/reference/docs/api.md:4): any element of the references
+        # array-of-struct matches by name
+        v = flt.value.replace("'", "''")
+        return f"exists(references, r -> r.name = '{v}')"
     else:
         rhs = "'" + flt.value.replace("'", "''") + "'"
     return f"{fld} {flt.op} {rhs}"

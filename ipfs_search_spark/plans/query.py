@@ -363,30 +363,36 @@ class Searcher:
 
     def search(self, queries: list, k: int = 10, mode: str = "or",
                prune: bool = True, fields: dict | None = None,
-               combine: str = "sum") -> DataFrame:
+               combine: str = "sum", offset: int = 0) -> DataFrame:
         return _search_impl(self.spark, self, queries, k, mode, prune,
-                            fields=fields, combine=combine)
+                            fields=fields, combine=combine, offset=offset)
 
 
 def search(spark: SparkSession, io: TableIO, queries: list,
            k: int = 10, mode: str = "or", prune: bool = True,
-           fields: dict | None = None, combine: str = "sum") -> DataFrame:
+           fields: dict | None = None, combine: str = "sum",
+           offset: int = 0) -> DataFrame:
     """queries: list of (query_id:int, query_string) → DataFrame
-    (query_id, rank, doc_id, url, score), rank 1..k, ties by doc_id asc.
+    (query_id, rank, doc_id, url, score), rank offset+1..offset+k (result
+    paging — the reference API's page parameter), ties by doc_id asc.
 
     fields: {field_name: boost} for a fielded index (build_fielded_index) —
     the reference's default_field multi-match surface
     (/root/reference/docs/indices/files.json:10-37). combine='max' is
     OpenSearch query_string's best_fields/dis_max; 'sum' is BM25F-lite."""
     return Searcher(spark, io).search(queries, k=k, mode=mode, prune=prune,
-                                      fields=fields, combine=combine)
+                                      fields=fields, combine=combine,
+                                      offset=offset)
 
 
 def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                  k: int, mode: str, prune: bool,
-                 fields: dict | None = None, combine: str = "sum"
-                 ) -> DataFrame:
+                 fields: dict | None = None, combine: str = "sum",
+                 offset: int = 0) -> DataFrame:
     n_docs, avgdl = sx.n_docs, sx.avgdl
+    # paging: every per-shard/per-query cut keeps offset+k candidates so the
+    # window can slice ranks (offset, offset+k]; rank stays the GLOBAL rank
+    k_page = k + max(int(offset), 0)
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
@@ -500,7 +506,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
         pos_probe = probe.filter(F.col("kind") == "pos")
         candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
-            _make_scorer(k, mode, prune, keep_all, combine,
+            _make_scorer(k_page, mode, prune, keep_all, combine,
                          phrase_mode="all"), CANDIDATE_SCHEMA)
 
     docs = sx.documents
@@ -522,7 +528,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                        F.col("doc_id").cast("long").alias("doc_id"),
                        F.lit(1.0).alias("score"))
         if not (p.not_terms or p.not_phrases):
-            sel = sel.orderBy("doc_id").limit(k)
+            sel = sel.orderBy("doc_id").limit(k_page)
         candidates = sel if candidates is None else candidates.unionByName(sel)
 
     if has_neg and probe is not None:
@@ -552,7 +558,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     topk = (candidates.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+            .filter((F.col("rank") <= k_page) & (F.col("rank") > offset)))
     # Display-field lookup: broadcast the tiny top-k side so the big documents
     # table never shuffles (at 100 TB the doc_map is bucketed by doc_id and
     # this becomes a storage-partitioned join; the projection below prunes the

@@ -248,3 +248,46 @@ def test_merge_term_shards_preserves_positions(spark, pos_index):
         assert pos.size == tfs.sum()
         total += ids.size
     assert total == row["df_part"]
+
+
+# --- paging + references filter (reference API surface) --------------------
+
+def test_offset_paging(spark, pos_index):
+    io, _ = pos_index
+    full = _run(spark, io, [(0, "data spark")], k=10).get(0, [])
+    page2 = _run(spark, io, [(0, "data spark")], k=4, offset=3).get(0, [])
+    assert page2 == full[3:7]  # global ranks 4..7, identical docs/scores
+    # paging composes with phrases and match-all
+    ph_full = _run(spark, io, [(0, '"data spark"')], k=8).get(0, [])
+    ph_p2 = _run(spark, io, [(0, '"data spark"')], k=4, offset=4).get(0, [])
+    assert ph_p2 == ph_full[4:8]
+    ma_full = _run(spark, io, [(0, "lang:en")], k=10).get(0, [])
+    ma_p2 = _run(spark, io, [(0, "lang:en")], k=5, offset=5).get(0, [])
+    assert ma_p2 == ma_full[5:10]
+
+
+def test_references_name_filter(spark, tmp_path):
+    """The reference API's `references.name:epub` filter over the inbound
+    references array (/root/reference/docs/api.md:4)."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [("u1", 1, "data alpha", "en", "ok",
+          [{"parent_hash": "p1", "name": "epub"}]),
+         ("u2", 2, "data beta", "en", "ok",
+          [{"parent_hash": "p2", "name": "pdf"}]),
+         ("u3", 3, "data gamma", "en", "ok",
+          [{"parent_hash": "p3", "name": "epub"},
+           {"parent_hash": "p4", "name": "txt"}]),
+         ("u4", 4, "data delta", "en", "ok", [])],
+        "url string, doc_id long, text string, lang string, status string, "
+        "references array<struct<parent_hash:string,name:string>>")
+    io = TableIO(spark, str(tmp_path / "refs-ix"))
+    build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=4)
+    got = _run(spark, io, [(0, "data references.name:epub"),
+                           (1, "references.name:epub"),
+                           (2, "data references.name:zzz")], k=10)
+    assert {d for _, d, _ in got.get(0, [])} == {1, 3}
+    assert [d for _, d, _ in got.get(1, [])] == [1, 3]  # match-all + filter
+    assert got.get(2, []) == []
