@@ -450,6 +450,10 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     for qid, p in parsed.items():
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
+        # AND semantics: a term absent from the whole index matches nothing,
+        # so the conjunction is empty — don't silently drop the term
+        if p.mode == "and" and not p.match_all and len(pos) < len(p.terms):
+            continue
         # quoted phrases are required clauses: a group with no live variant
         # (a term absent from every field's vocabulary) cannot match, so the
         # whole query returns nothing
