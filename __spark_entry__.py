@@ -56,7 +56,7 @@ def _engine_io(spark: SparkSession, sf_dir: str):
     return io
 
 
-def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH toks AS (
@@ -82,10 +82,13 @@ WITH toks AS (
   CROSS JOIN stats s
   WHERE t.term IN ({tl})
   GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
 )
-SELECT doc_id, score,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+SELECT doc_id, score, rank FROM ranked
+WHERE rank > {offset} AND rank <= {offset + k} ORDER BY rank
 """
 
 
@@ -361,6 +364,22 @@ def q_phrase_search(spark, sf_dir):
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def q_paging(spark, sf_dir):
+    """Result paging (the reference API's page parameter): global ranks
+    (offset, offset+k] of the flagship BM25 query."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, " ".join(FLAGSHIP_TERMS))],
+                 k=FLAGSHIP_K + 60)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = rounded.withColumn("rank",
+                                F.row_number().over(w).cast("int"))
+    return (ranked.filter((F.col("rank") > FLAGSHIP_K) &
+                          (F.col("rank") <= 2 * FLAGSHIP_K))
             .select("doc_id", "score", "rank"))
 
 
@@ -687,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_fields": q_bm25_fields,
         "q_phrase_search": q_phrase_search,
         "q_match_all_filter": q_match_all_filter,
+        "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
@@ -798,6 +818,8 @@ SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
        CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank
 FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
 """,
+        "q_paging": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
+                                     offset=FLAGSHIP_K),
         "q_crawl_reach": """
 SELECT 'R' || r_regionkey AS url, CAST(0 AS INT) AS depth FROM region
 UNION ALL
