@@ -256,8 +256,13 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
                               positions=positions, lang_aware=lang_aware)
     # co-locate each bucket into one task before the partitioned write: one
     # output file per bucket instead of (tasks × buckets) fragments — the
-    # commit protocol's file-listing/rename cost is serial on the driver
-    postings = postings.repartition(n_buckets, "bucket")
+    # commit protocol's file-listing/rename cost is serial on the driver.
+    # sortWithinPartitions(term): parquet row-group min/max stats on the
+    # sorted term column let the query-time `term IN (...)` scan skip row
+    # groups inside a bucket — at web scale a bucket holds millions of
+    # terms and the probe reads only the groups containing query terms.
+    postings = (postings.repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term", "shard"))
     io.write(postings, "postings", partition_by=["bucket"])
     postings = io.read("postings")
     term_stats = postings.groupBy("term").agg(
@@ -265,7 +270,8 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
         F.sum("df_part").alias("df"),
         F.sum("cf_part").alias("cf"),
     )
-    io.write(term_stats, "term_stats")
+    # sorted by term for the same row-group-skipping on stats lookups
+    io.write(term_stats.sortWithinPartitions("term"), "term_stats")
     io.write(
         spark.createDataFrame(
             [(n_docs, avgdl, n_shards, n_buckets, block_size,
@@ -323,13 +329,15 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     postings = sharded.groupBy("bucket", "shard").applyInPandas(
         _make_encoder(block_size), POSTINGS_SCHEMA)
-    postings = postings.repartition(n_buckets, "bucket")
+    postings = (postings.repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term", "shard"))
     io.write(postings, "postings", partition_by=["bucket"])
     postings = io.read("postings")
     io.write(postings.groupBy("term").agg(
         F.first("bucket").alias("bucket"),
         F.sum("df_part").alias("df"),
-        F.sum("cf_part").alias("cf")), "term_stats")
+        F.sum("cf_part").alias("cf")).sortWithinPartitions("term"),
+        "term_stats")
     io.write(spark.createDataFrame(fstats_rows,
                                    "field string, n_docs long, avgdl double"),
              "field_stats")
