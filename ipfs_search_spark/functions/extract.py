@@ -38,16 +38,24 @@ _TAG_RE = re.compile(r"<[^>]*>")
 _SPACES_RE = re.compile(r" +")
 
 
-def extract_text_str(html: str) -> str:
-    """Reference extraction semantics on one decoded document."""
-    s = _COMMENT_RE.sub(" ", html)
-    s = _SCRIPT_RE.sub(" ", s)
+def _strip_inert(html: str) -> str:
+    """Remove comments and script/style subtrees — the shared first step of
+    text AND title extraction (a <title> inside a comment must not win)."""
+    return _SCRIPT_RE.sub(" ", _COMMENT_RE.sub(" ", html))
+
+
+def _text_from_stripped(s: str) -> str:
     s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)
     s = html_mod.unescape(s)
     s = s.replace("\xa0", " ").replace("\r", "\n").replace("\t", " ")
     lines = (_SPACES_RE.sub(" ", ln).strip() for ln in s.split("\n"))
     return "\n".join(ln for ln in lines if ln)
+
+
+def extract_text_str(html: str) -> str:
+    """Reference extraction semantics on one decoded document."""
+    return _text_from_stripped(_strip_inert(html))
 
 
 def extract_series(html: pd.Series) -> pd.Series:
@@ -65,17 +73,23 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return extract_series(html)
 
 
+def _title_from_stripped(s: str) -> str:
+    m = _TITLE_RE.search(s)
+    if not m:
+        return ""
+    t = _TAG_RE.sub("", m.group(1))
+    t = html_mod.unescape(t)
+    t = t.replace("\xa0", " ").replace("\r", " ").replace("\t", " ")
+    return _SPACES_RE.sub(" ", t.replace("\n", " ")).strip()
+
+
 def extract_title_str(html: str) -> str:
     """<title> content through the same normalization pipeline (the
     reference's Tika sidecar emits title into the metadata map,
-    /root/reference/components/index/types/file.go:11)."""
-    m = _TITLE_RE.search(html)
-    if not m:
-        return ""
-    s = _TAG_RE.sub("", m.group(1))
-    s = html_mod.unescape(s)
-    s = s.replace("\xa0", " ").replace("\r", " ").replace("\t", " ")
-    return _SPACES_RE.sub(" ", s.replace("\n", " ")).strip()
+    /root/reference/components/index/types/file.go:11). Comments and
+    script/style subtrees are stripped FIRST, like text extraction — a
+    <title> inside a comment is not the document title."""
+    return _title_from_stripped(_strip_inert(html))
 
 
 _DOC_SCHEMA = StructType([
@@ -95,9 +109,9 @@ def extract_doc_udf(html: pd.Series) -> pd.DataFrame:
             texts.append("")
             titles.append("")
             continue
-        s = bytes(b).decode("utf-8", errors="replace")
-        texts.append(extract_text_str(s))
-        titles.append(extract_title_str(s))
+        stripped = _strip_inert(bytes(b).decode("utf-8", errors="replace"))
+        texts.append(_text_from_stripped(stripped))
+        titles.append(_title_from_stripped(stripped))
     return pd.DataFrame({"text": texts, "title": titles})
 
 
@@ -116,16 +130,16 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
     The length gate is a JVM-side filter so Catalyst can prune before the UDF.
     """
     html = F.col(html_col)
+    ok = (F.length(html) <= F.lit(max_bytes)) if max_bytes is not None \
+        else F.lit(True)
     if metadata_col is None:
         if max_bytes is None:
-            return df.withColumn(out_col, extract_text_udf(html))
-        ok = F.length(html) <= F.lit(max_bytes)
-        out = df.withColumn(
-            out_col, F.when(ok, extract_text_udf(html)).otherwise(F.lit(None))
-        )
+            out = df.withColumn(out_col, extract_text_udf(html))
+        else:
+            out = df.withColumn(
+                out_col,
+                F.when(ok, extract_text_udf(html)).otherwise(F.lit(None)))
     else:
-        ok = (F.length(html) <= F.lit(max_bytes)) if max_bytes is not None \
-            else F.lit(True)
         out = df.withColumn(
             "_ex", F.when(ok, extract_doc_udf(html)).otherwise(F.lit(None)))
         out = out.withColumn(out_col, F.col("_ex.text")).withColumn(
@@ -142,8 +156,6 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
                              F.lit("text/html; charset=utf-8")),
             ).otherwise(F.lit(None).cast("map<string,string>")),
         ).drop("_ex")
-        if max_bytes is None:
-            return out
     if status_col:
         out = out.withColumn(
             status_col,

@@ -13,6 +13,8 @@ Supported grammar (superset of what the reference's own doc examples use):
   -term           NOT term (left-anti on the term's doc set)
   -"a b"          NOT phrase (docs containing the exact phrase are excluded)
   field:value     equality filter (lang, status, url)
+  -field:value    negated filter (must_not: matching docs excluded; docs
+                  with a NULL field are kept)
   references.name:value              inbound-edge filter (any reference
                                      whose name matches — docs/api.md:4)
   last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
@@ -48,6 +50,9 @@ class Filter:
     field: str
     op: str  # '=', '>', '<', '>=', '<='
     value: str
+    # -field:value — excludes matching docs (docs where the field is NULL
+    # count as non-matching, like a must_not clause)
+    neg: bool = False
 
 
 @dataclass
@@ -94,7 +99,8 @@ def parse_query(q: str, mode: str = "or") -> Query:
                     if val.startswith(cand):
                         op, val = cand, val[len(cand):]
                         break
-                out.filters.append(Filter(_norm_field(fld.lower()), op, val))
+                out.filters.append(Filter(_norm_field(fld.lower()), op, val,
+                                          neg=neg))
                 continue
         terms = _analyze(tok)
         (out.not_terms if neg else out.terms).extend(terms)
@@ -142,7 +148,17 @@ def filter_to_sql(flt: Filter) -> str:
         # /root/reference/docs/api.md:4): any element of the references
         # array-of-struct matches by name
         v = flt.value.replace("'", "''")
-        return f"exists(references, r -> r.name = '{v}')"
+        pred = f"exists(references, r -> r.name = '{v}')"
+        return _maybe_negate(pred, flt.neg)
     else:
         rhs = "'" + flt.value.replace("'", "''") + "'"
-    return f"{fld} {flt.op} {rhs}"
+    return _maybe_negate(f"{fld} {flt.op} {rhs}", flt.neg)
+
+
+def _maybe_negate(pred: str, neg: bool) -> str:
+    """-field:value = must_not: docs where the positive predicate is TRUE
+    are excluded; NULL fields count as non-matching (kept), hence the
+    coalesce — a bare NOT would drop NULL rows under SQL 3-valued logic."""
+    if not neg:
+        return pred
+    return f"(NOT coalesce(({pred}), false))"

@@ -103,6 +103,22 @@ def _match_phrase(pos_data: dict, phrase: list):
     return np.unique(all_docs[cur >> np.int64(32)])
 
 
+def _filters_pred(p: Query, doc_cols) -> str | None:
+    """Render a query's filters against this documents schema. Returns a
+    SQL predicate, or None when the filters cannot match any doc — e.g.
+    references.name on an index whose documents table has no references
+    column (no doc matches the positive filter; its negation matches
+    everything and is dropped)."""
+    preds = []
+    for f in p.filters:
+        if f.field == "references.name" and "references" not in doc_cols:
+            if f.neg:
+                continue
+            return None
+        preds.append(filter_to_sql(f))
+    return " AND ".join(preds) if preds else "true"
+
+
 def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                  combine: str = "sum", phrase_mode: str | None = None):
     """Scorer for one (query, shard) group.
@@ -274,8 +290,12 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 mask &= np.isin(doc_ids, m)
             doc_ids, doc_scores = doc_ids[mask], doc_scores[mask]
         if not keep_all and doc_ids.size > k:
-            part = np.argpartition(doc_scores, -k)[-k:]
-            doc_ids, doc_scores = doc_ids[part], doc_scores[part]
+            # exact top-k by (score DESC, doc_id ASC) — the same tie-break
+            # as the global rank window and the oracle; a plain argpartition
+            # on score breaks exact-score ties arbitrarily and can drop the
+            # lower-doc_id doc the final ranking would have kept
+            sel = np.lexsort((doc_ids, -doc_scores))[:k]
+            doc_ids, doc_scores = doc_ids[sel], doc_scores[sel]
         return pd.DataFrame({
             "query_id": np.full(doc_ids.size, qid, dtype=np.int32),
             "doc_id": doc_ids.astype(np.int64),
@@ -324,15 +344,18 @@ class Searcher:
             self.term_stats = merged_stats
             self.n_docs, self.avgdl = compute_doc_stats(self.documents)
         else:
-            row = io.read("index_stats").collect()[0]
-            self.n_docs, self.avgdl = int(row["n_docs"]), float(row["avgdl"])
+            stats = io.read("index_stats").collect()[0].asDict()
+            self.n_docs = int(stats["n_docs"])
+            self.avgdl = float(stats["avgdl"])
             self.term_stats = io.read("term_stats")
             self.postings = io.read("postings")
-        # positional flag (phrase-query capability) from index_stats
-        self.positional = False
-        if io.exists("index_stats"):
+            self._stats_row = stats
+        # positional flag (phrase-query capability) from index_stats —
+        # reuse the row already collected above when available
+        srow = getattr(self, "_stats_row", None)
+        if srow is None and io.exists("index_stats"):
             srow = io.read("index_stats").collect()[0].asDict()
-            self.positional = bool(srow.get("positional", False))
+        self.positional = bool((srow or {}).get("positional", False))
         self._term_cache: dict | None = None
         if cache_terms is None:
             cache_terms = self.term_stats.count() <= self.TERM_CACHE_MAX
@@ -525,8 +548,10 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         # engine's match_all over its own index
         d = (docs.filter(F.col("status") == "ok")
              if "status" in docs.columns else docs)
-        if p.filters:
-            pred = " AND ".join(filter_to_sql(f) for f in p.filters)
+        pred = _filters_pred(p, docs.columns)
+        if pred is None:
+            continue  # filters cannot match any doc on this index
+        if pred != "true":
             d = d.filter(F.expr(pred))
         sel = d.select(F.lit(qid).cast("int").alias("query_id"),
                        F.col("doc_id").cast("long").alias("doc_id"),
@@ -551,10 +576,13 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     if has_filters:
         flt_df = None
         for qid, p in parsed.items():
-            if not p.filters:
+            pred = _filters_pred(p, docs.columns)
+            if pred is None:  # impossible filters → no doc allowed
+                allowed = docs.filter(F.lit(False)).select(
+                    F.lit(qid).alias("query_id"), "doc_id")
+            elif pred == "true":
                 allowed = docs.select(F.lit(qid).alias("query_id"), "doc_id")
             else:
-                pred = " AND ".join(filter_to_sql(f) for f in p.filters)
                 allowed = docs.filter(F.expr(pred)).select(
                     F.lit(qid).alias("query_id"), "doc_id")
             flt_df = allowed if flt_df is None else flt_df.unionByName(allowed)

@@ -86,3 +86,26 @@ def test_fielded_index_on_extracted_title(spark, pages, tmp_path):
                     combine="max").collect()
     assert len(out) == 5
     assert out[0]["score"] > 0
+
+
+def test_title_inside_comment_or_script_ignored():
+    from ipfs_search_spark.functions.extract import extract_title_str
+    html = ("<!-- <title>Old draft</title> --><head>"
+            "<script>var t = '<title>js</title>';</script>"
+            "<title>Real title</title></head><body>x</body>")
+    assert extract_title_str(html) == "Real title"
+    assert extract_title_str("<!-- <title>only in comment</title> -->") == ""
+
+
+def test_status_with_metadata_and_no_max_bytes(spark):
+    from ipfs_search_spark.functions.extract import with_extracted_text
+    df = spark.createDataFrame(
+        [("a", bytearray(b"<title>T</title><p>hi</p>")),
+         ("b", bytearray(b""))],
+        "url string, html binary")
+    out = with_extracted_text(df, status_col="status",
+                              metadata_col="metadata").collect()
+    by_url = {r["url"]: r for r in out}
+    assert by_url["a"]["status"] == "ok"
+    assert by_url["a"]["metadata"]["title"] == "T"
+    assert by_url["b"]["status"] == "partial"

@@ -291,3 +291,31 @@ def test_references_name_filter(spark, tmp_path):
     assert {d for _, d, _ in got.get(0, [])} == {1, 3}
     assert [d for _, d, _ in got.get(1, [])] == [1, 3]  # match-all + filter
     assert got.get(2, []) == []
+
+
+def test_negated_filter(spark, pos_index):
+    """-lang:de = must_not (review finding: previously parsed as a
+    POSITIVE filter, inverting user intent)."""
+    io, _ = pos_index
+    pos = {d for _, d, _ in _run(spark, io, [(0, "data lang:de")],
+                                 k=10**6).get(0, [])}
+    neg = {d for _, d, _ in _run(spark, io, [(0, "data -lang:de")],
+                                 k=10**6).get(0, [])}
+    alld = {d for _, d, _ in _run(spark, io, [(0, "data")],
+                                  k=10**6).get(0, [])}
+    assert pos and neg
+    assert pos | neg == alld and not (pos & neg)
+
+
+def test_references_filter_on_index_without_column(spark, pos_index):
+    """references.name on a normally-built index (no references column):
+    positive filter matches nothing; negated filter matches everything —
+    never an AnalysisException (review finding)."""
+    io, _ = pos_index
+    got = _run(spark, io, [(0, "data references.name:epub"),
+                           (1, "references.name:epub"),
+                           (2, "data -references.name:epub")], k=10**6)
+    assert got.get(0, []) == []
+    assert got.get(1, []) == []
+    alld = _run(spark, io, [(0, "data")], k=10**6).get(0, [])
+    assert [d for _, d, _ in got.get(2, [])] == [d for _, d, _ in alld]

@@ -52,6 +52,9 @@ QUERY_SET = [
     # combinations
     (28, '"data spark" lang:en', "or"),
     (29, "data spark index merge block score rank shard", "or"),
+    # negated filters (must_not)
+    (30, "data -lang:de", "or"),
+    (31, "-lang:en -lang:de", "or"),
 ]
 
 
@@ -80,14 +83,15 @@ def _passes_filters(meta_row, filters) -> bool:
     import datetime as dt
     for f in filters:
         if f.field in ("lang", "status", "url"):
-            if str(meta_row[f.field]) != f.value:
+            matches = str(meta_row[f.field]) == f.value
+            if matches == f.neg:  # neg: matching docs excluded
                 return False
         elif f.field == "size":
             v = meta_row["size"] or 0
             t = int(f.value)
             ok = {"=": v == t, ">": v > t, "<": v < t,
                   ">=": v >= t, "<=": v <= t}[f.op]
-            if not ok:
+            if ok == f.neg:
                 return False
         elif f.field == "last_seen":
             ts = meta_row["last_seen"]
@@ -96,7 +100,7 @@ def _passes_filters(meta_row, filters) -> bool:
                 t = t.replace(tzinfo=ts.tzinfo)
             ok = {">": ts > t, "<": ts < t, ">=": ts >= t,
                   "<=": ts <= t, "=": ts == t}[f.op]
-            if not ok:
+            if ok == f.neg:
                 return False
         else:
             raise AssertionError(f"unhandled filter field {f.field}")
@@ -191,8 +195,8 @@ def test_reference_query_set_paging_identity(spark, qs_index, oracle_env):
 def test_query_set_covers_every_feature():
     """The checked-in set must keep covering the full grammar."""
     feats = {"and_mode": False, "phrase": False, "neg": False,
-             "neg_phrase": False, "filter": False, "match_all": False,
-             "absent_term": False}
+             "neg_phrase": False, "filter": False, "neg_filter": False,
+             "match_all": False, "absent_term": False}
     for _, s, m in QUERY_SET:
         p = parse_query(s, mode=m)
         feats["and_mode"] |= m == "and"
@@ -200,6 +204,7 @@ def test_query_set_covers_every_feature():
         feats["neg"] |= bool(p.not_terms)
         feats["neg_phrase"] |= bool(p.not_phrases)
         feats["filter"] |= bool(p.filters)
+        feats["neg_filter"] |= any(f.neg for f in p.filters)
         feats["match_all"] |= p.match_all
         feats["absent_term"] |= "zzzznotaterm" in s
     assert all(feats.values()), feats
