@@ -589,9 +589,21 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs over embeddings ∪ planted near-dups (scaled
+    copies of every 10th vector — cosine ≈ 1.0, so the green row proves the
+    operator finds real matches; same-label non-planted pairs max out at
+    ~0.475 at this sf, far from the 0.8 threshold)."""
     from ipfs_search_spark.operators.similarity import cosine_neardup_pairs
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, "label", threshold=0.8)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label")
+    planted = (emb.filter(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * F.lit(1.01)).alias("embedding"),
+                       "label"))
+    return cosine_neardup_pairs(emb.unionByName(planted), "label",
+                                threshold=0.8)
 
 
 def q_quality(spark, sf_dir):
@@ -654,13 +666,21 @@ def q_recency_filter(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing (decode stub): rows-only check (no SQL oracle —
-    mapInPandas media decode is not SQL-expressible)."""
+    """Binary-column plumbing: blobs with planted jpeg/png headers (by
+    doc_id mod 3) run through the mapInPandas decoder (deterministic fake —
+    format sniff + byte arithmetic, operators/multimodal.py:37-47); the
+    DuckDB oracle mirrors the same blob construction and sniff byte-for-byte
+    so the Python decode path is value-checked, not just rows-counted."""
     from ipfs_search_spark.operators.multimodal import decode_image_meta
     docs = _t(spark, sf_dir, "documents")
-    blobs = docs.select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.encode(F.col("text"), "utf-8").alias("blob"))
+    payload = F.encode(F.col("text"), "utf-8")
+    blob = (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(b"\xff\xd8"), payload))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit(b"\x89PNG"), payload))
+            .otherwise(payload))
+    blobs = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        blob.alias("blob"))
     meta = decode_image_meta(blobs, fake=True)
     return (meta.groupBy("format")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -668,14 +688,54 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_streaming_dedup(spark, sf_dir):
-    """Batch-equivalent of the watermarked streaming dedup (first sighting
-    per url within the stream) — rows-only check for the streaming operator;
-    the true streaming execution is covered in tests/test_streaming.py."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return (ev.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("user_id", F.col("ts").alias("first_ts"), "event_type"))
+    """REAL Structured Streaming execution of the sniffer's last-seen dedup
+    (/root/reference/components/sniffer/providerfilters/lastseenfilter.go:
+    55-90): events.parquet is replayed through a file-source stream in two
+    micro-batches (the data file, then a sentinel file 30 days in the future
+    that advances the watermark past every window end so append mode flushes
+    all state). First sighting per user within each 7-day event-time window,
+    computed as a watermarked windowed aggregation — min(struct(ts,event_id,
+    event_type)) is deterministic under any partitioning/arrival order, so
+    the batch SQL oracle (row_number over the same epoch-aligned buckets)
+    matches exactly."""
+    import datetime as _dt
+    import shutil as _sh
+    import uuid as _uuid
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    ev = spark.read.parquet(ev_path)
+    src = tempfile.mkdtemp(prefix="isx-stream-src-")
+    ckpt = tempfile.mkdtemp(prefix="isx-stream-ckpt-")
+    data_file = os.path.join(src, "batch-000.parquet")
+    _sh.copyfile(ev_path, data_file)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + _dt.timedelta(days=30), -1, "sentinel", 0.0, "")],
+        ev.schema)
+    sent_dir = tempfile.mkdtemp(prefix="isx-stream-sent-")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = [f for f in os.listdir(sent_dir) if f.endswith(".parquet")][0]
+    sent_file = os.path.join(src, "batch-001.parquet")
+    _sh.copyfile(os.path.join(sent_dir, part), sent_file)
+    # file source orders by modification time — force data before sentinel
+    now = os.path.getmtime(sent_file)
+    os.utime(data_file, (now - 60, now - 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "7 days").alias("w"), "user_id")
+           .agg(F.min(F.struct("ts", "event_id", "event_type"))
+                .alias("first")))
+    qname = "stream_dedup_" + _uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(qname).filter(F.col("user_id") >= 0)
+            .select("user_id", F.col("first.ts").alias("first_ts"),
+                    F.col("first.event_type").alias("event_type")))
 
 
 # --------------------------------------------------------------------------
@@ -805,7 +865,7 @@ WITH dl AS (
 )
 SELECT count(*) AS n_docs,
        CAST(round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avgdl,
-       sum(dl) AS total_tokens
+       CAST(sum(dl) AS BIGINT) AS total_tokens
 FROM dl
 """,
         "q_bm25_topk": bm25,
@@ -921,23 +981,48 @@ FROM embeddings CROSS JOIN q
 ORDER BY cosine DESC, vec_id LIMIT 10
 """,
         "q_embed_neardup": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01), label
+  FROM embeddings WHERE vec_id % 10 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(round(
-         list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                          CAST(b.embedding AS DOUBLE[])) /
-         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                CAST(a.embedding AS DOUBLE[]))) *
-          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])))), 6)
-       AS DOUBLE) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) *
+          sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE) AS cosine
+FROM base a JOIN base b ON a.label = b.label
 WHERE a.vec_id < b.vec_id
-  AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])) /
-      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                             CAST(a.embedding AS DOUBLE[]))) *
-       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])))) >= 0.8
+  AND list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(b.v, b.v))) >= 0.8
+""",
+        "q_multimodal_meta": """
+WITH b AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN '\\xFF\\xD8'::BLOB || encode(text)
+              WHEN doc_id % 3 = 1 THEN '\\x89PNG'::BLOB || encode(text)
+              ELSE encode(text) END AS blob
+  FROM documents
+)
+SELECT CASE WHEN octet_length(blob) >= 2
+                 AND substr(hex(blob), 1, 4) = 'FFD8' THEN 'jpeg'
+            WHEN octet_length(blob) >= 4
+                 AND substr(hex(blob), 1, 8) = '89504E47' THEN 'png'
+            ELSE 'unknown' END AS format,
+       count(*) AS n,
+       CAST(sum(octet_length(blob)) AS BIGINT) AS total_bytes
+FROM b GROUP BY 1
+""",
+        "q_streaming_dedup": """
+SELECT user_id, ts AS first_ts, event_type
+FROM (SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY floor(epoch(ts) / 604800),
+                                             user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
 """,
         "q_quality": f"""
 WITH t AS (

@@ -368,7 +368,12 @@ def merge_term_shards(postings: DataFrame,
             for blk in blocks:
                 i, t, d = decode_block(blk)
                 ids_l.append(i); tfs_l.append(t); dls_l.append(d)
-                if blk["pos"] is None:
+                # blocks persisted by pre-positional builds lack the `pos`
+                # struct field entirely — degrade to a non-positional merge
+                # (blk is a dict under Arrow conversion, a Row otherwise)
+                fields = getattr(blk, "__fields__", blk)
+                pos_val = blk["pos"] if "pos" in fields else None
+                if pos_val is None:
                     positional = False
                 elif positional:
                     pos_l.append(decode_block_positions(blk, t))

@@ -99,6 +99,12 @@ def parse_query(q: str, mode: str = "or") -> Query:
                     if val.startswith(cand):
                         op, val = cand, val[len(cand):]
                         break
+                if fld.lower() == "references.name" and op != "=":
+                    # parse-time so the error fires even on indexes whose
+                    # documents table lacks a references column
+                    raise QueryParseError(
+                        "references.name supports only equality, got op "
+                        f"{op!r}")
                 out.filters.append(Filter(_norm_field(fld.lower()), op, val,
                                           neg=neg))
                 continue
@@ -146,7 +152,11 @@ def filter_to_sql(flt: Filter) -> str:
     elif fld == "references.name":
         # inbound-edge filter (the reference API's `references.name:epub`,
         # /root/reference/docs/api.md:4): any element of the references
-        # array-of-struct matches by name
+        # array-of-struct matches by name — equality only (a range over a
+        # name makes no sense; reject rather than silently strip the op)
+        if flt.op != "=":
+            raise QueryParseError(
+                f"references.name supports only equality, got op {flt.op!r}")
         v = flt.value.replace("'", "''")
         pred = f"exists(references, r -> r.name = '{v}')"
         return _maybe_negate(pred, flt.neg)
