@@ -305,6 +305,89 @@ _SHINGLE3_SQL = ("list_transform(range(1, greatest(len(a) - 2, 0) + 1), "
                  "i -> array_to_string(list_slice(a, i, i + 2), ' '))")
 
 
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB mirror of operators/dedup.py::simhash_md5_dedup: identical
+    md5-hex-digit bit definition, per-doc ±1 sums, 32-bit halves, 16-bit
+    banding and hamming verify — generated programmatically (64 bit sums)."""
+    vsums = ",\n         ".join(
+        f"sum((((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" >> {j % 4}) & 1) * 2 - 1) AS v{j}"
+        for j in range(64))
+    lo = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+                    for j in range(32))
+    hi = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)"
+                    for j in range(32, 64))
+    return f"""
+WITH base AS ({_NEARDUP_BASE_SQL}),
+tok AS (
+  SELECT id, unnest(list_filter(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                x -> x != '')) AS t
+  FROM base
+), d AS (
+  SELECT id, md5(t) AS h FROM tok
+), v AS (
+  SELECT id,
+         {vsums}
+  FROM d GROUP BY id
+), sig AS (
+  SELECT id, CAST({lo} AS BIGINT) AS sig_lo,
+             CAST({hi} AS BIGINT) AS sig_hi
+  FROM v
+), bands AS (
+  SELECT id, sig_lo, sig_hi, b.band,
+         CASE b.band WHEN 0 THEN sig_lo & 65535
+                     WHEN 1 THEN (sig_lo >> 16) & 65535
+                     WHEN 2 THEN sig_hi & 65535
+                     ELSE (sig_hi >> 16) & 65535 END AS band_val
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.sig_lo AS lo_a, a.sig_hi AS hi_a,
+         b.sig_lo AS lo_b, b.sig_hi AS hi_b
+  FROM bands a JOIN bands b USING (band, band_val)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+      <= {max_hamming}
+"""
+
+
+_IVF_ORACLE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id - 1 AS cid, v AS c FROM e WHERE vec_id BETWEEN 1 AND 8),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id, cent.cid,
+         list_dot_product(e.v, cent.c) /
+         (sqrt(list_dot_product(e.v, e.v)) *
+          sqrt(list_dot_product(cent.c, cent.c))) AS cs
+  FROM e CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, arg_max(cid, cs) AS cell FROM cos GROUP BY vec_id
+), probe AS (
+  SELECT cent.cid
+  FROM cent CROSS JOIN q
+  ORDER BY list_dot_product(cent.c, q.qv) /
+           (sqrt(list_dot_product(cent.c, cent.c)) *
+            sqrt(list_dot_product(q.qv, q.qv))) DESC, cent.cid
+  LIMIT 3
+)
+SELECT e.vec_id,
+       CAST(round(list_dot_product(e.v, q.qv) /
+                  (sqrt(list_dot_product(e.v, e.v)) *
+                   sqrt(list_dot_product(q.qv, q.qv))), 6) AS DOUBLE)
+         AS cosine
+FROM e JOIN assign USING (vec_id) CROSS JOIN q
+WHERE assign.cell IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # query implementations
 # --------------------------------------------------------------------------
@@ -557,9 +640,12 @@ def q_lsh_neardup(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    from ipfs_search_spark.operators.dedup import simhash_dedup
+    """SimHash near-dup pairs (md5-hash variant — the signature, banding and
+    hamming verify are mirrored bit-for-bit by the DuckDB oracle; the
+    Arrow/FNV variant simhash_dedup stays recall-tested in pytest)."""
+    from ipfs_search_spark.operators.dedup import simhash_md5_dedup
     base = _neardup_base(spark, sf_dir)
-    return simhash_dedup(base, "id", "text", max_hamming=8)
+    return simhash_md5_dedup(base, "id", "text", max_hamming=8)
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -572,15 +658,23 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (spherical k-means coarse quantizer, n_probe cells scanned,
-    exact re-rank inside) — rows-only check: k-means training is not
-    SQL-expressible; recall vs brute force is asserted in
-    tests/test_dedup_similarity.py."""
-    from ipfs_search_spark.operators.similarity import (
-        add_ivf_cells, ivf_topk, train_ivf_centroids,
-    )
+    """IVF ANN through the real operators (add_ivf_cells distributed
+    assignment + ivf_topk partition-pruned probe + exact re-rank), with a
+    DETERMINISTIC coarse quantizer the SQL oracle can mirror: the centroids
+    are the unit-normalized embeddings of vec_id 1..8 (a fixed seed sample —
+    Lloyd-iterated k-means training stays covered by the recall tests in
+    tests/test_dedup_similarity.py, which assert recall vs brute force)."""
+    import math as _math
+
+    from ipfs_search_spark.operators.similarity import add_ivf_cells, ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=8, sample=1024, iters=8)
+    cent_rows = (emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").select("embedding").collect())
+    cents = []
+    for r in cent_rows:
+        v = [float(x) for x in r[0]]
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
     cells = add_ivf_cells(emb, cents)
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding")
@@ -968,6 +1062,8 @@ FROM pairs p JOIN dsh x ON p.id_a = x.id JOIN dsh y ON p.id_b = y.id
 WHERE CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE) /
       len(list_distinct(list_concat(x.ds, y.ds))) >= 0.5
 """,
+        "q_simhash_neardup": _simhash_oracle_sql(8),
+        "q_ann_ivf": _IVF_ORACLE_SQL,
         "q_ann_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id = 0)

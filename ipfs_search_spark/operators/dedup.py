@@ -141,6 +141,74 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash_md5_dedup(df: DataFrame, key: str, text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs whose 64-bit token hash is the first 16 hex
+    digits of md5(token) — chosen so an ANSI-SQL engine can mirror the
+    signature bit-for-bit (the driver's DuckDB oracle). Fully JVM-side:
+    md5 + conv + bit ops all stay in whole-stage codegen; the only shuffles
+    are the per-doc signature groupBy and the band self-join, exactly like
+    simhash_dedup (the Arrow/FNV variant kept for wider-than-16-byte token
+    coverage).
+
+    Signature: bit j (0..63) of the token hash is bit (j%4) of hex digit
+    (j//4) of md5(token)[:16]; per doc v_j = Σ_occurrences (2·bit_j − 1),
+    signature bit j = (v_j > 0). Stored as two 32-bit halves (sig_lo bits
+    0..31, sig_hi bits 32..63) so no signed-64 overflow handling is needed
+    on either engine; hamming = popcount(xor) summed over halves."""
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    toks = df.select(F.col(key).alias("_id"),
+                     F.explode(tokens_array(F.col(text_col))).alias("_t"))
+    h = F.md5(F.col("_t"))
+    dt = toks.select("_id", *[
+        F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"_d{i}")
+        for i in range(16)])
+    aggs = []
+    for j in range(64):
+        bit = F.shiftright(F.col(f"_d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
+    v = dt.groupBy("_id").agg(*aggs)
+
+    def half(lo_bit):
+        expr = F.lit(0)
+        for j in range(lo_bit, lo_bit + 32):
+            expr = expr + F.when(F.col(f"_v{j}") > 0,
+                                 F.lit(1 << (j - lo_bit))).otherwise(F.lit(0))
+        return expr.cast("long")
+
+    sig = v.select("_id", half(0).alias("sig_lo"), half(32).alias("sig_hi"))
+    band_cols = [
+        F.struct(F.lit(0).alias("band"),
+                 F.col("sig_lo").bitwiseAND(F.lit(0xFFFF)).alias("band_val")),
+        F.struct(F.lit(1).alias("band"),
+                 F.shiftright("sig_lo", 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("band_val")),
+        F.struct(F.lit(2).alias("band"),
+                 F.col("sig_hi").bitwiseAND(F.lit(0xFFFF)).alias("band_val")),
+        F.struct(F.lit(3).alias("band"),
+                 F.shiftright("sig_hi", 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("band_val")),
+    ]
+    bands = sig.select("_id", "sig_lo", "sig_hi",
+                       F.explode(F.array(*band_cols)).alias("bk")) \
+               .select("_id", "sig_lo", "sig_hi", "bk.band", "bk.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_val"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.sig_lo").alias("lo_a"),
+                    F.col("a.sig_hi").alias("hi_a"),
+                    F.col("b.sig_lo").alias("lo_b"),
+                    F.col("b.sig_hi").alias("hi_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) +
+               F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def simhash_dedup(df: DataFrame, key: str, text_col: str = "text",
                   max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup candidate pairs: 64-bit simhash split into 4 16-bit

@@ -63,6 +63,18 @@ def test_simhash_neardup(spark, corpus):
     assert all(h == 0 for (a, b), h in hams.items() if b == a + 2000)
 
 
+def test_simhash_md5_neardup(spark, corpus):
+    """The JVM/md5 simhash variant (oracle-parity path) finds the same
+    planted duplicates: exact dups at hamming 0, near-dups at low hamming."""
+    from ipfs_search_spark.operators.dedup import simhash_md5_dedup
+    pairs = simhash_md5_dedup(corpus, "id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, 2000 + i)) == 0
+    found_near = sum((i, 1000 + i) in got for i in range(10))
+    assert found_near >= 8
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math
