@@ -628,13 +628,16 @@ def q_minhash_fingerprint(spark, sf_dir):
         F.element_at(sig, 4).alias("mh3"))
 
 
+LSH_MAX_BUCKET = 100  # band-bucket cap (skew guard) — mirrored in the oracle
+
+
 def q_lsh_neardup(spark, sf_dir):
     from ipfs_search_spark.operators.dedup import (
         minhash_lsh_pairs, ngram_jaccard_verify,
     )
     base = _neardup_base(spark, sf_dir)
     pairs = minhash_lsh_pairs(base, "id", "text", n_hashes=8, bands=4,
-                              shingle_n=3)
+                              shingle_n=3, max_bucket=LSH_MAX_BUCKET)
     return ngram_jaccard_verify(base, pairs, "id", "text", shingle_n=3,
                                 threshold=0.5)
 
@@ -1032,14 +1035,10 @@ arr AS (
   SELECT id, {_SHINGLE3_SQL} AS s FROM arr
 ), sig AS (
   SELECT id,
-         [list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min'),
-          list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min')] AS sg
+         [{", ".join(
+             f"list_aggregate(list_transform(s, "
+             f"x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8)), "
+             f"'min')" for i in range(8))}] AS sg
   FROM sh
 ), bands AS (
   SELECT id, unnest([md5('0|' || sg[1] || '|' || sg[2]),
@@ -1047,9 +1046,12 @@ arr AS (
                      md5('2|' || sg[5] || '|' || sg[6]),
                      md5('3|' || sg[7] || '|' || sg[8])]) AS band_key
   FROM sig
+), kept AS (
+  SELECT id, band_key FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_key) <= {LSH_MAX_BUCKET}
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b USING (band_key)
+  FROM kept a JOIN kept b USING (band_key)
   WHERE a.id < b.id GROUP BY 1, 2
 ), dsh AS (
   SELECT id, list_distinct(s) AS ds FROM sh

@@ -42,23 +42,43 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
                       n_hashes: int = 8, bands: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     signature(n_hashes) split into `bands` bands of n_hashes/bands rows each;
     docs sharing any band collide. Returns (id_a, id_b, band_hits) with
     id_a < id_b. Shuffle cost: one explode to (band_id, band_key) + one
-    self-join per bucket — bounded by bucket sizes, never all-pairs."""
+    self-join per bucket — bounded by bucket sizes, never all-pairs.
+
+    max_bucket: band buckets holding more than this many docs are DROPPED
+    before the self-join. Web corpora contain million-page boilerplate
+    clusters; one such bucket alone yields m²/2 candidate pairs in a single
+    task — the data-dependent quadratic that kills banded LSH at scale. The
+    cap bounds every bucket's pair count at max_bucket²/2; true near-dup
+    pairs inside a dropped mega-cluster should be handled by the exact-dedup
+    pre-pass (exact_dedup), which collapses identical pages for free. The
+    guard costs one map-side-combinable count on band_key — the same key the
+    protected self-join shuffles on.
+
+    Hash budget: each shingle row pays ceil(n_hashes/4) md5 evaluations (one
+    md5 = 32 hex chars = 4 independent 32-bit slot hashes compared as hex
+    substrings), not one md5 PER SLOT — 4x less hashing on the hot explode.
+    """
     rows_per_band = n_hashes // bands
-    # One explode pass: shingle rows → per-seed md5 → map-side-combinable
+    n_chains = (n_hashes + 3) // 4
+    # One explode pass: shingle rows → chained md5s → map-side-combinable
     # min aggs. (A nested-array formulation re-evaluates the shingle
     # expression once per signature slot under Catalyst projection collapse —
     # O(n_hashes×bands) recomputation; the explode+groupBy shape computes
     # each shingle hash exactly once and scales to any corpus.)
     sh = df.select(F.col(key).alias("_id"),
                    F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    hh = F.concat(*[F.md5(F.concat(F.lit(f"{c}|"), F.col("_sh")))
+                    for c in range(n_chains)])
+    sh = sh.select("_id", hh.alias("_hh"))
     sig = sh.groupBy("_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_sh")))).alias(f"_h{i}")
+        F.min(F.substring("_hh", 8 * i + 1, 8)).alias(f"_h{i}")
         for i in range(n_hashes)
     ])
     band_cols = [
@@ -69,6 +89,12 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
     ]
     exploded = sig.select(
         "_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    if max_bucket is not None:
+        keep = (exploded.groupBy("band_key")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .select("band_key"))
+        exploded = exploded.join(keep, "band_key", "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, "band_key")
@@ -77,6 +103,34 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
                       F.col("b._id").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("band_hits")))
     return pairs
+
+
+def lsh_dropped_buckets(df: DataFrame, key: str, text_col: str = "text",
+                        n_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3,
+                        max_bucket: int = 10_000) -> DataFrame:
+    """Audit view of what minhash_lsh_pairs' max_bucket guard drops:
+    (band_key, n_docs) for every oversized bucket — no silent truncation;
+    pipelines log/export this alongside the pair output."""
+    rows_per_band = n_hashes // bands
+    n_chains = (n_hashes + 3) // 4
+    sh = df.select(F.col(key).alias("_id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    hh = F.concat(*[F.md5(F.concat(F.lit(f"{c}|"), F.col("_sh")))
+                    for c in range(n_chains)])
+    sig = sh.select("_id", hh.alias("_hh")).groupBy("_id").agg(*[
+        F.min(F.substring("_hh", 8 * i + 1, 8)).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ])
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"_h{b * rows_per_band + i}")
+                            for i in range(rows_per_band)])).alias("band_key")
+        for b in range(bands)
+    ]
+    return (sig.select("_id", F.explode(F.array(*band_cols)).alias("band_key"))
+            .groupBy("band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket))
 
 
 def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, key: str,

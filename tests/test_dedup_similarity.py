@@ -53,6 +53,25 @@ def test_minhash_lsh_recall(spark, corpus):
     assert found_near >= 8
 
 
+def test_lsh_bucket_cap_bounds_megacluster(spark):
+    """A planted boilerplate cluster (m identical pages — the web-scale skew
+    case) must NOT produce m²/2 candidate pairs: max_bucket drops the
+    oversized band buckets, pairs outside the cluster are still found, and
+    the dropped buckets are reported (no silent truncation)."""
+    from ipfs_search_spark.operators.dedup import lsh_dropped_buckets
+    rows = [(i, "boiler plate page body text repeated " * 4)
+            for i in range(2000)]
+    rows += [(100000, "unique alpha beta gamma delta words " * 4),
+             (100001, "unique alpha beta gamma delta words " * 4)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = minhash_lsh_pairs(df, "id", "text", max_bucket=100)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100000, 100001) in got
+    assert all(a >= 100000 for a, _ in got)  # cluster pairs all dropped
+    dropped = lsh_dropped_buckets(df, "id", "text", max_bucket=100).collect()
+    assert dropped and all(r["n_docs"] == 2000 for r in dropped)
+
+
 def test_simhash_neardup(spark, corpus):
     pairs = simhash_dedup(corpus, "id", "text", max_hamming=10)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
