@@ -92,53 +92,68 @@ WHERE rank > {offset} AND rank <= {offset + k} ORDER BY rank
 """
 
 
+# Fielded search surface: the reference's default_field set spans 15
+# analyzed fields per query_string (/root/reference/docs/indices/files.json:
+# 10-37) — title, description, content, urls, references.name among them.
+# Each spec: (field key, boost, DuckDB token-list SQL over `arr`). The
+# title/description fields are deterministic slices of the document tokens;
+# urls and references.name are deterministic constructed columns (testdata
+# documents carry no real links), so both engines derive identical inputs.
+FIELDS_QUERY_TERMS = ["doc", "merge", "window"]
+_URLS_FIELD_SQL = ("CASE WHEN doc_id % 2 = 0 THEN 'doc ' || (doc_id % 97) "
+                   "ELSE '' END")
+_REFNAME_FIELD_SQL = ("CASE WHEN doc_id % 5 = 0 THEN 'window merge' "
+                      "ELSE 'name ' || (doc_id % 11) END")
+
+
+def _tok_of(expr: str) -> str:
+    return _TOK.replace("lower(text)", f"lower({expr})")
+
+
+_FIELD_SPECS = [
+    ("title", 2.0, "list_slice(a, 1, 5)"),
+    ("description", 1.5, "list_slice(a, 6, 12)"),
+    ("urls", 1.2, _tok_of(_URLS_FIELD_SQL)),
+    ("references.name", 1.1, _tok_of(_REFNAME_FIELD_SQL)),
+    ("content", 1.0, "a"),
+]
+
+
 def _bm25f_oracle_sql(terms: list[str], k: int) -> str:
-    """DuckDB mirror of the fielded engine: title = first 5 tokens (boost 2),
-    content = all tokens (boost 1); per-field BM25 with per-field df/N/avgdl;
-    best_fields combine (greatest of boosted field scores per term), summed
-    over terms."""
+    """DuckDB mirror of the fielded engine: per-field BM25 with per-field
+    df/N/avgdl and boost; best_fields combine (max of boosted field scores
+    per term), summed over terms — generated per _FIELD_SPECS."""
     tl = ", ".join(f"'{t}'" for t in terms)
+    ctes = [f"arr AS (\n  SELECT doc_id, {_TOK} AS a FROM documents\n)"]
+    score_sels = []
+    for i, (_, boost, toklist) in enumerate(_FIELD_SPECS):
+        ctes.append(f"""f{i}_toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({toklist}) AS term FROM arr) GROUP BY 1, 2
+), f{i}_dl AS (
+  SELECT doc_id, len({toklist}) AS dl FROM arr WHERE len({toklist}) > 0
+), f{i}_stat AS (
+  SELECT count(*) AS n, sum(dl) AS s FROM f{i}_dl
+), f{i}_df AS (
+  SELECT term, count(*) AS df FROM f{i}_toks WHERE term IN ({tl})
+  GROUP BY term
+), f{i}_sc AS (
+  SELECT t.doc_id, t.term,
+         {boost} * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+          0.75 * dl.dl / (CAST(s.s AS DOUBLE) / s.n)))) AS sc
+  FROM f{i}_toks t JOIN f{i}_df d USING (term)
+  JOIN f{i}_dl dl ON dl.doc_id = t.doc_id
+  CROSS JOIN f{i}_stat s WHERE t.term IN ({tl})
+)""")
+        score_sels.append(f"SELECT doc_id, term, sc FROM f{i}_sc")
+    union = "\n  UNION ALL ".join(score_sels)
     return f"""
-WITH arr AS (
-  SELECT doc_id, {_TOK} AS a FROM documents
-), ttoks AS (
-  SELECT doc_id, term, count(*) AS tf
-  FROM (SELECT doc_id, unnest(list_slice(a, 1, 5)) AS term FROM arr)
-  GROUP BY 1, 2
-), ctoks AS (
-  SELECT doc_id, term, count(*) AS tf
-  FROM (SELECT doc_id, unnest(a) AS term FROM arr) GROUP BY 1, 2
-), tdl AS (
-  SELECT doc_id, least(len(a), 5) AS dl FROM arr WHERE len(a) > 0
-), cdl AS (
-  SELECT doc_id, len(a) AS dl FROM arr WHERE len(a) > 0
-), tstat AS (
-  SELECT count(*) AS n, sum(dl) AS s FROM tdl
-), cstat AS (
-  SELECT count(*) AS n, sum(dl) AS s FROM cdl
-), tdf AS (
-  SELECT term, count(*) AS df FROM ttoks WHERE term IN ({tl}) GROUP BY term
-), cdf AS (
-  SELECT term, count(*) AS df FROM ctoks WHERE term IN ({tl}) GROUP BY term
-), ts AS (
-  SELECT t.doc_id, t.term,
-         2.0 * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-         (t.tf / (t.tf + 1.2 * (1 - 0.75 +
-          0.75 * dl.dl / (CAST(s.s AS DOUBLE) / s.n)))) AS sc
-  FROM ttoks t JOIN tdf d USING (term) JOIN tdl dl ON dl.doc_id = t.doc_id
-  CROSS JOIN tstat s WHERE t.term IN ({tl})
-), cs AS (
-  SELECT t.doc_id, t.term,
-         1.0 * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-         (t.tf / (t.tf + 1.2 * (1 - 0.75 +
-          0.75 * dl.dl / (CAST(s.s AS DOUBLE) / s.n)))) AS sc
-  FROM ctoks t JOIN cdf d USING (term) JOIN cdl dl ON dl.doc_id = t.doc_id
-  CROSS JOIN cstat s WHERE t.term IN ({tl})
+WITH {", ".join(ctes)},
+all_sc AS (
+  {union}
 ), per_term AS (
-  SELECT coalesce(ts.doc_id, cs.doc_id) AS doc_id,
-         greatest(coalesce(ts.sc, 0.0), coalesce(cs.sc, 0.0)) AS sc
-  FROM ts FULL OUTER JOIN cs
-       ON ts.doc_id = cs.doc_id AND ts.term = cs.term
+  SELECT doc_id, term, max(sc) AS sc FROM all_sc GROUP BY doc_id, term
 ), scored AS (
   SELECT doc_id, CAST(round(sum(sc), 6) AS DOUBLE) AS score
   FROM per_term GROUP BY doc_id
@@ -396,8 +411,10 @@ _FIELDED_CACHE: dict[str, object] = {}
 
 
 def _fielded_io(spark: SparkSession, sf_dir: str):
-    """Fielded (title/content) index over documents; title = first 5 tokens
-    (derived deterministically so the oracle can mirror it)."""
+    """Fielded index over documents across the reference's default_field
+    families (_FIELD_SPECS): title/description = deterministic token slices,
+    urls/references.name = deterministic constructed columns, content = full
+    text — all mirrored by the generated oracle SQL."""
     key = os.path.abspath(sf_dir) + "#fielded"
     if key in _FIELDED_CACHE:
         return _FIELDED_CACHE[key]
@@ -406,29 +423,46 @@ def _fielded_io(spark: SparkSession, sf_dir: str):
     from ipfs_search_spark.operators.index_build import build_fielded_index
 
     io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-fielded-"))
+    toks = tokens_array(F.col("text"))
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.concat_ws(" ", F.slice(tokens_array(F.col("text")), 1, 5))
-        .alias("title"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("title"),
+        F.concat_ws(" ", F.slice(toks, 6, 7)).alias("description"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("doc "),
+                        (F.col("doc_id") % 97).cast("string")))
+        .otherwise(F.lit("")).alias("urls_text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("window merge"))
+        .otherwise(F.concat(F.lit("name "),
+                            (F.col("doc_id") % 11).cast("string")))
+        .alias("references_name"),
         F.col("text").alias("content"),
         F.col("lang"), F.lit("ok").alias("status"),
     )
     build_fielded_index(spark, docs, io,
-                        fields={"title": "title", "content": "content"},
+                        fields={"title": "title",
+                                "description": "description",
+                                "urls": "urls_text",
+                                "references.name": "references_name",
+                                "content": "content"},
                         n_shards=4, n_buckets=16)
     _FIELDED_CACHE[key] = io
     return io
 
 
+FIELD_BOOSTS = {name: boost for name, boost, _ in _FIELD_SPECS}
+
+
 def q_bm25_fields(spark, sf_dir):
-    """Multi-field BM25 (best_fields/dis_max, title boosted 2x) through the
-    fielded posting engine."""
+    """Multi-field BM25 (best_fields/dis_max over 5 analyzed fields incl.
+    urls and references.name, per-field boosts) through the fielded posting
+    engine."""
     from ipfs_search_spark.plans.query import Searcher
     io = _fielded_io(spark, sf_dir)
     sx = Searcher(spark, io)
-    raw = sx.search([(0, " ".join(FLAGSHIP_TERMS))], k=FLAGSHIP_K + 50,
-                    fields={"title": 2.0, "content": 1.0}, combine="max")
+    raw = sx.search([(0, " ".join(FIELDS_QUERY_TERMS))], k=FLAGSHIP_K + 50,
+                    fields=FIELD_BOOSTS, combine="max")
     rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -473,6 +507,63 @@ def q_match_all_filter(spark, sf_dir):
     io = _engine_io(spark, sf_dir)
     out = search(spark, io, [(0, "lang:de")], k=20)
     return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# html constructed deterministically from doc_id for the outlink-extraction
+# entries: two intra-corpus links (one duplicated — dedupe must drop it), a
+# commented-out link (must be ignored), and an entity-escaped external link.
+def _synth_html_col():
+    k1 = ((F.col("doc_id") * 7 + 1) % 997).cast("string")
+    k2 = ((F.col("doc_id") * 7 + 2) % 997).cast("string")
+    ext = (F.col("doc_id") % 13).cast("string")
+    return F.concat(
+        F.lit('<html><body><a href="doc:'), k1,
+        F.lit('"></a><!-- <a href="doc:hidden"></a> -->'
+              "<a href='doc:"), k2,
+        F.lit("'></a>"), F.lit('<a href="doc:'), k1,
+        F.lit('"></a><a href="https://t.example/p?x='), ext,
+        F.lit('&amp;y=2"></a></body></html>'))
+
+
+def q_outlinks(spark, sf_dir):
+    """Outlink harvest through the REAL extractor UDF (functions/extract.py
+    _urls_from_stripped — comment stripping, quote styles, entity unescape,
+    order-preserving dedupe) over html synthesized per doc_id; the oracle
+    states the expected (doc_id, pos, url) rows from first principles."""
+    from ipfs_search_spark.functions.extract import with_extracted_text
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id",
+                        F.encode(_synth_html_col(), "utf-8").alias("html"))
+    out = with_extracted_text(blobs, urls_col="urls")
+    return (out.select("doc_id", F.posexplode("urls").alias("pos", "url"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"), "url"))
+
+
+def q_crawl_html(spark, sf_dir):
+    """Crawl-frontier fixpoint driven by html-extracted outlinks (the
+    reference's directory recursion fed by Tika link extraction): edges come
+    out of the extractor UDF, roots are doc_id < 5, BFS depth ≤ 6; oracle is
+    a recursive CTE computing min reach depth over the same edge set."""
+    from ipfs_search_spark.functions.extract import with_extracted_text
+    from ipfs_search_spark.operators.crawl import crawl_fixpoint
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id",
+                        F.encode(_synth_html_col(), "utf-8").alias("html"))
+    harvested = (with_extracted_text(blobs, urls_col="urls")
+                 .select(F.col("doc_id").cast("string").alias("parent_url"),
+                         F.explode("urls").alias("u"))
+                 .filter(F.col("u").startswith("doc:"))
+                 .select("parent_url",
+                         F.expr("substring(u, 5)").alias("child_url")))
+    # keep only edges to docs that exist (dangling links crawl nowhere)
+    links = (harvested.join(
+        docs.select(F.col("doc_id").cast("string").alias("child_url")),
+        "child_url", "left_semi")
+        .withColumn("name", F.lit("link")))
+    roots = (docs.filter(F.col("doc_id") < 5)
+             .select(F.col("doc_id").cast("string").alias("url")))
+    out = crawl_fixpoint(roots, links, max_depth=6)
+    return out.select("url", F.col("depth").cast("int").alias("depth"))
 
 
 def q_crawl_reach(spark, sf_dir):
@@ -865,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_match_all_filter": q_match_all_filter,
         "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
+        "q_outlinks": q_outlinks,
+        "q_crawl_html": q_crawl_html,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
         "q_lsh_neardup": q_lsh_neardup,
@@ -967,7 +1060,7 @@ FROM dl
 """,
         "q_bm25_topk": bm25,
         "q_bm25_engine": bm25,
-        "q_bm25_fields": _bm25f_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
         "q_match_all_filter": """
@@ -992,6 +1085,35 @@ WHERE o_custkey IN (
   SELECT c_custkey FROM customer
   WHERE c_nationkey IN (SELECT n_nationkey FROM nation
                         WHERE n_regionkey IN (SELECT r_regionkey FROM region)))
+""",
+        "q_outlinks": """
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       'doc:' || ((doc_id * 7 + 1) % 997) AS url FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       'doc:' || ((doc_id * 7 + 2) % 997) FROM documents
+UNION ALL
+SELECT doc_id, CAST(2 AS INT),
+       'https://t.example/p?x=' || (doc_id % 13) || '&y=2' FROM documents
+""",
+        "q_crawl_html": """
+WITH RECURSIVE edges AS (
+  SELECT CAST(doc_id AS VARCHAR) AS parent,
+         CAST((doc_id * 7 + 1) % 997 AS VARCHAR) AS child FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR),
+         CAST((doc_id * 7 + 2) % 997 AS VARCHAR) FROM documents
+), valid AS (
+  SELECT e.parent, e.child FROM edges e
+  JOIN documents d ON CAST(d.doc_id AS VARCHAR) = e.child
+), reach(url, depth) AS (
+  SELECT CAST(doc_id AS VARCHAR), 0 FROM documents WHERE doc_id < 5
+  UNION
+  SELECT v.child, r.depth + 1
+  FROM reach r JOIN valid v ON v.parent = r.url
+  WHERE r.depth < 6
+)
+SELECT url, CAST(min(depth) AS INT) AS depth FROM reach GROUP BY url
 """,
         "q_dedup_exact": """
 WITH h AS (

@@ -92,6 +92,45 @@ def _make_text(rng: random.Random, sample) -> str:
     return "\n".join(paras)
 
 
+def _links_for_index(j: int, seed: int, n_pages: int,
+                     url_fmt: str = "https://example.org/{seed}/{idx:010d}.html"
+                     ) -> list[str]:
+    """Deterministic outlinks of page j (0..4 intra-corpus + an occasional
+    external link with an entity-escaped query) — keyed by (j, seed) alone so
+    tests recompute the expected url list independently of html generation."""
+    rng = random.Random((seed << 8) ^ (j * 0x85EBCA6B) ^ 0x5BD1E995)
+    out: list[str] = []
+    seen: set[str] = set()
+    for _ in range(rng.randrange(0, 5)):
+        tgt = rng.randrange(n_pages)
+        u = url_fmt.format(seed=seed, idx=tgt)
+        if tgt != j and u not in seen:
+            seen.add(u)
+            out.append(u)
+    if rng.random() < 0.2:
+        out.append(f"https://ext.example.com/q?a={j}&b=2")
+    return out
+
+
+def _meta_for_index(j: int, seed: int, vocab: list[str]) -> dict[str, str]:
+    """Deterministic <meta> fields of page j (description/keywords/author,
+    each present with its own probability) — independently recomputable."""
+    rng = random.Random((seed << 24) ^ (j * 0xC2B2AE35) ^ 0x27D4EB2F)
+    meta: dict[str, str] = {}
+    if rng.random() < 0.8:
+        words = [vocab[rng.randrange(len(vocab))]
+                 for _ in range(rng.randint(4, 10))]
+        if rng.random() < 0.1:
+            words.append(rng.choice(_EDGE_WORDS))
+        meta["description"] = " ".join(words)
+    if rng.random() < 0.6:
+        meta["keywords"] = ", ".join(vocab[rng.randrange(len(vocab))]
+                                     for _ in range(rng.randint(2, 5)))
+    if rng.random() < 0.5:
+        meta["author"] = f"author {rng.randrange(1000)}"
+    return meta
+
+
 def _markup_paragraph(rng: random.Random, para: str) -> str:
     """Wrap a paragraph in block markup; optionally wrap a word-range in an
     inline tag — tag boundaries sit ON word boundaries so inline-tag removal
@@ -119,18 +158,32 @@ def _markup_paragraph(rng: random.Random, para: str) -> str:
     return f"<{block}>{pad_l}{body}{pad_r}</{block}>"
 
 
-def _make_html(rng: random.Random, text: str) -> bytes:
+def _make_html(rng: random.Random, text: str,
+               links: list[str] | None = None,
+               meta: dict[str, str] | None = None) -> bytes:
     paras = text.split("\n")
     title, body_paras = paras[0], paras[1:]
     noise_script = "<script>var x = 1 < 2 && 3 > 2;</script>" if rng.random() < 0.5 else ""
     noise_style = "<style>p { color: red; }</style>" if rng.random() < 0.3 else ""
     comment = "<!-- generated fixture -->" if rng.random() < 0.3 else ""
     nbsp = "&nbsp;" if rng.random() < 0.2 else ""
+    meta_tags = ""
+    for name, content in (meta or {}).items():
+        c = html_mod.escape(content)
+        # attribute order varies — extraction must not depend on it
+        if rng.random() < 0.5:
+            meta_tags += f'\n<meta name="{name}" content="{c}">'
+        else:
+            meta_tags += f'\n<meta content="{c}" name="{name}">'
+    # empty-anchor outlinks: harvested into `urls` without contributing any
+    # body text, so the text byte-identity invariant is untouched
+    anchors = "".join(f'<a href="{html_mod.escape(u)}"></a>'
+                      for u in (links or []))
     blocks = "\n".join(_markup_paragraph(rng, p) for p in body_paras)
     doc = (
-        f"<!DOCTYPE html>\n<html>\n<head>{comment}\n"
+        f"<!DOCTYPE html>\n<html>\n<head>{comment}{meta_tags}\n"
         f"<title>{html_mod.escape(title)}</title>{noise_script}{noise_style}\n"
-        f"</head>\n<body>{nbsp}\n{blocks}\n</body>\n</html>"
+        f"</head>\n<body>{nbsp}\n{blocks}\n{anchors}\n</body>\n</html>"
     )
     return doc.encode("utf-8")
 
@@ -150,11 +203,14 @@ def generate_pages(
     sample = _zipf_sampler(rng, vocab)
     langs = ["en", "de", "fr", "es", "zh"][:n_langs]
     base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    url_fmt = "https://example.org/{seed}/{idx:08d}.html"
     rows: list[dict] = []
     for i in range(n):
-        url = f"https://example.org/{seed}/{i:08d}.html"
+        url = url_fmt.format(seed=seed, idx=i)
         ts = base_ts + dt.timedelta(seconds=rng.randrange(90 * 86400))
         lang = langs[i % len(langs)]
+        links = _links_for_index(i, seed, n, url_fmt=url_fmt)
+        meta = _meta_for_index(i, seed, vocab)
         r = rng.random()
         if r < empty_frac:
             text = ""
@@ -162,10 +218,10 @@ def generate_pages(
         elif r < empty_frac + oversize_frac:
             text = _make_text(rng, sample)
             filler = b"<!-- " + b"x" * oversize_bytes + b" -->"
-            html = _make_html(rng, text)[:-7] + filler + b"</html>"
+            html = _make_html(rng, text, links, meta)[:-7] + filler + b"</html>"
         else:
             text = _make_text(rng, sample)
-            html = _make_html(rng, text)
+            html = _make_html(rng, text, links, meta)
         rows.append({"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang})
     # duplicate sightings of the same url at a different warc_ts
     n_dup = max(1, int(n * dup_frac))
@@ -179,7 +235,8 @@ def generate_pages(
     return rows
 
 
-def _page_for_index(j: int, seed: int, vocab: list[str], langs: list[str]) -> dict:
+def _page_for_index(j: int, seed: int, vocab: list[str], langs: list[str],
+                    n_pages: int = 1 << 30) -> dict:
     """Deterministic page content for logical doc index j (content rng is
     keyed by j alone, so duplicate sightings regenerate identical html)."""
     rng = random.Random((seed << 32) ^ (j * 0x9E3779B9) ^ 0xA5A5A5A5)
@@ -193,8 +250,10 @@ def _page_for_index(j: int, seed: int, vocab: list[str], langs: list[str]) -> di
         return {"url": url, "warc_ts": ts, "lang": lang, "text": "",
                 "html": rng.choice([b"", b"  \n ", b"<html><body> </body></html>"])}
     text = _make_text(rng, sample)
+    links = _links_for_index(j, seed, n_pages)
+    meta = _meta_for_index(j, seed, vocab)
     return {"url": url, "warc_ts": ts, "lang": lang, "text": text,
-            "html": _make_html(rng, text)}
+            "html": _make_html(rng, text, links, meta)}
 
 
 def pages_df_distributed(spark, n: int, seed: int = 42, n_langs: int = 3,
@@ -229,7 +288,7 @@ def pages_df_distributed(spark, n: int, seed: int = 42, n_langs: int = 3,
                 j = i
                 if rng_row.random() < dup_frac and i > 8:
                     j = i - rng_row.randrange(1, 8)
-                page = _page_for_index(j, seed, vocab, langs)
+                page = _page_for_index(j, seed, vocab, langs, n_pages=n)
                 if j != i:  # duplicate sighting at a different time
                     page = {**page,
                             "warc_ts": page["warc_ts"] +

@@ -25,7 +25,7 @@ import re
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
@@ -83,6 +83,81 @@ def _title_from_stripped(s: str) -> str:
     return _SPACES_RE.sub(" ", t.replace("\n", " ")).strip()
 
 
+_HREF_RE = re.compile(
+    r"""(?is)<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""")
+_META_TAG_RE = re.compile(r"(?is)<meta\b[^>]*>")
+_ATTR_RE = re.compile(
+    r"""(?is)\b([a-z][a-z0-9-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""")
+# minimal content sniff: real structural markup → html, else plain text
+# (the reference's Tika sidecar detects the true Content-Type; stray '<'
+# comparisons in prose must not flip a text file to html)
+_HTML_MARKER_RE = re.compile(
+    r"(?is)<(!doctype|html|head|body|title|meta|div|p|a|span|br|table|ul|ol"
+    r"|li|h[1-6]|script|style)\b")
+
+META_FIELDS = ("description", "keywords", "author")
+
+
+def _norm_inline(t: str) -> str:
+    """Title-style normalization for attribute/metadata values."""
+    t = html_mod.unescape(t)
+    t = t.replace("\xa0", " ").replace("\r", " ").replace("\t", " ")
+    return _SPACES_RE.sub(" ", t.replace("\n", " ")).strip()
+
+
+def _urls_from_stripped(s: str) -> list[str]:
+    """Outlink harvest (the reference's `urls []string` per file —
+    /root/reference/components/index/types/file.go:21; Tika 'extracts body
+    text … links', docs/architecture.md:38-40): href values of anchor tags,
+    entity-unescaped, first-occurrence order, deduped; empty hrefs and pure
+    fragments are dropped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _HREF_RE.finditer(s):
+        u = html_mod.unescape(
+            m.group(2) or m.group(3) or m.group(4) or "").strip()
+        if not u or u.startswith("#") or u in seen:
+            continue
+        seen.add(u)
+        out.append(u)
+    return out
+
+
+def _meta_from_stripped(s: str) -> dict[str, str]:
+    """<meta name=... content=...> harvest for the reference's
+    metadata.description/keywords/author default_fields
+    (/root/reference/docs/indices/files.json:10-37). Attribute order within
+    the tag is free; the first non-empty occurrence of each field wins."""
+    found: dict[str, str] = {}
+    for tag in _META_TAG_RE.finditer(s):
+        attrs = {}
+        for am in _ATTR_RE.finditer(tag.group(0)):
+            attrs[am.group(1).lower()] = (am.group(3) or am.group(4)
+                                          or am.group(5) or "")
+        name = attrs.get("name", "").lower()
+        if name in META_FIELDS and name not in found:
+            val = _norm_inline(attrs.get("content", ""))
+            if val:
+                found[name] = val
+    return found
+
+
+def _content_type_sniff(decoded: str) -> str:
+    return ("text/html; charset=utf-8" if _HTML_MARKER_RE.search(decoded)
+            else "text/plain; charset=utf-8")
+
+
+def extract_urls_str(html: str) -> list[str]:
+    """Outlinks of one decoded document (comments/scripts stripped first —
+    a href inside a comment is not a link)."""
+    return _urls_from_stripped(_strip_inert(html))
+
+
+def extract_meta_str(html: str) -> dict[str, str]:
+    """description/keywords/author of one decoded document."""
+    return _meta_from_stripped(_strip_inert(html))
+
+
 def extract_title_str(html: str) -> str:
     """<title> content through the same normalization pipeline (the
     reference's Tika sidecar emits title into the metadata map,
@@ -95,33 +170,50 @@ def extract_title_str(html: str) -> str:
 _DOC_SCHEMA = StructType([
     StructField("text", StringType()),
     StructField("title", StringType()),
+    StructField("description", StringType()),
+    StructField("keywords", StringType()),
+    StructField("author", StringType()),
+    StructField("content_type", StringType()),
+    StructField("urls", ArrayType(StringType())),
 ])
 
 
 @pandas_udf(_DOC_SCHEMA)
 def extract_doc_udf(html: pd.Series) -> pd.DataFrame:
-    """One Arrow pass over the html bytes → (text, title) — the extractor
-    chain of the reference (Tika emits content + a metadata map in a single
-    sidecar call; two separate UDFs would scan every page twice)."""
-    texts, titles = [], []
+    """One Arrow pass over the html bytes → (text, title, description,
+    keywords, author, content_type, urls) — the extractor chain of the
+    reference (Tika emits content + a metadata map + links in a single
+    sidecar call, /root/reference/docs/architecture.md:38-40; separate UDFs
+    would scan every page once per field)."""
+    cols: dict[str, list] = {f.name: [] for f in _DOC_SCHEMA.fields}
     for b in html:
         if b is None:
-            texts.append("")
-            titles.append("")
+            for k in cols:
+                cols[k].append([] if k == "urls" else "")
             continue
-        stripped = _strip_inert(bytes(b).decode("utf-8", errors="replace"))
-        texts.append(_text_from_stripped(stripped))
-        titles.append(_title_from_stripped(stripped))
-    return pd.DataFrame({"text": texts, "title": titles})
+        decoded = bytes(b).decode("utf-8", errors="replace")
+        stripped = _strip_inert(decoded)
+        meta = _meta_from_stripped(stripped)
+        cols["text"].append(_text_from_stripped(stripped))
+        cols["title"].append(_title_from_stripped(stripped))
+        cols["description"].append(meta.get("description", ""))
+        cols["keywords"].append(meta.get("keywords", ""))
+        cols["author"].append(meta.get("author", ""))
+        cols["content_type"].append(_content_type_sniff(decoded))
+        cols["urls"].append(_urls_from_stripped(stripped))
+    return pd.DataFrame(cols)
 
 
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
                         max_bytes: int | None = None,
                         status_col: str | None = None,
-                        metadata_col: str | None = None):
-    """Attach extracted text; optionally classify oversize/empty rows and
-    attach a metadata map (title, Content-Type — the reference's dynamic
-    metadata island, /root/reference/docs/indices/files.json:117-118).
+                        metadata_col: str | None = None,
+                        urls_col: str | None = None):
+    """Attach extracted text; optionally classify oversize/empty rows,
+    attach a metadata map (title, description, keywords, author,
+    Content-Type — the reference's dynamic metadata island,
+    /root/reference/docs/indices/files.json:10-37,117-118) and an outlink
+    array (`urls`, types/file.go:21).
 
     Mirrors the reference's ValidateMaxSize → invalid path
     (/root/reference/components/extractor/util.go:15-29, crawler/index.go:63-68):
@@ -132,30 +224,38 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text",
     html = F.col(html_col)
     ok = (F.length(html) <= F.lit(max_bytes)) if max_bytes is not None \
         else F.lit(True)
-    if metadata_col is None:
+    if metadata_col is None and urls_col is None:
         if max_bytes is None:
             out = df.withColumn(out_col, extract_text_udf(html))
         else:
             out = df.withColumn(
                 out_col,
                 F.when(ok, extract_text_udf(html)).otherwise(F.lit(None)))
-    else:
-        out = df.withColumn(
-            "_ex", F.when(ok, extract_doc_udf(html)).otherwise(F.lit(None)))
-        out = out.withColumn(out_col, F.col("_ex.text")).withColumn(
+        return _with_status(out, html, ok, status_col)
+    out = df.withColumn(
+        "_ex", F.when(ok, extract_doc_udf(html)).otherwise(F.lit(None)))
+    out = out.withColumn(out_col, F.col("_ex.text"))
+    if metadata_col is not None:
+        # full metadata map with empty fields dropped (map_filter keeps the
+        # construction one JVM expression — no per-field when-chains)
+        full = F.create_map(
+            F.lit("title"), F.col("_ex.title"),
+            F.lit("description"), F.col("_ex.description"),
+            F.lit("keywords"), F.col("_ex.keywords"),
+            F.lit("author"), F.col("_ex.author"),
+            F.lit("Content-Type"), F.col("_ex.content_type"),
+        )
+        out = out.withColumn(
             metadata_col,
-            F.when(
-                F.col("_ex.title").isNotNull() & (F.col("_ex.title") != ""),
-                F.create_map(
-                    F.lit("title"), F.col("_ex.title"),
-                    F.lit("Content-Type"),
-                    F.lit("text/html; charset=utf-8")),
-            ).when(
-                F.col("_ex").isNotNull(),
-                F.create_map(F.lit("Content-Type"),
-                             F.lit("text/html; charset=utf-8")),
-            ).otherwise(F.lit(None).cast("map<string,string>")),
-        ).drop("_ex")
+            F.when(F.col("_ex").isNotNull(),
+                   F.map_filter(full, lambda _, v: v.isNotNull() & (v != "")))
+            .otherwise(F.lit(None).cast("map<string,string>")))
+    if urls_col is not None:
+        out = out.withColumn(urls_col, F.col("_ex.urls"))
+    return _with_status(out.drop("_ex"), html, ok, status_col)
+
+
+def _with_status(out, html, ok, status_col):
     if status_col:
         out = out.withColumn(
             status_col,

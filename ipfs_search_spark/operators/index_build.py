@@ -98,7 +98,7 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
     if extract:
         latest = with_extracted_text(
             latest.drop("text"), max_bytes=max_bytes, status_col="status",
-            metadata_col="metadata")
+            metadata_col="metadata", urls_col="urls")
     else:
         latest = latest.withColumn(
             "status",
@@ -113,6 +113,9 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
     if "metadata" not in latest.columns:
         latest = latest.withColumn(
             "metadata", F.lit(None).cast("map<string,string>"))
+    if "urls" not in latest.columns:
+        latest = latest.withColumn(
+            "urls", F.lit(None).cast("array<string>"))
     return (latest
             .withColumn("doc_id", F.xxhash64("url"))
             .withColumn("size", F.length("html").cast("long"))
@@ -120,7 +123,7 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
                                      F.size(tokens_array(F.col("text"))))
                         .otherwise(F.lit(0)).cast("int"))
             .select("url", "doc_id", "first_seen", "last_seen", "size",
-                    "text", "lang", "status", "dl", "metadata"))
+                    "text", "lang", "status", "dl", "metadata", "urls"))
 
 
 def _make_encoder(block_size: int):

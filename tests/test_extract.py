@@ -88,6 +88,73 @@ def test_fielded_index_on_extracted_title(spark, pages, tmp_path):
     assert out[0]["score"] > 0
 
 
+def test_outlink_and_meta_extraction_golden():
+    """urls / description / keywords / author extraction matches the
+    fixture generators exactly (the outlink list is keyed by (idx, seed) so
+    it is recomputable independently of html rendering)."""
+    import math
+
+    from ipfs_search_spark.fixtures import (
+        _links_for_index, _meta_for_index, _vocab,
+    )
+    from ipfs_search_spark.functions.extract import (
+        extract_meta_str, extract_urls_str,
+    )
+    n, seed = 400, 31
+    rows = generate_pages(n=n, seed=seed)
+    vocab = _vocab(max(64, int(20 * math.sqrt(n))))
+    url_fmt = "https://example.org/{seed}/{idx:08d}.html"
+    checked = 0
+    for r in rows:
+        if not r["text"]:
+            continue
+        idx = int(r["url"].rsplit("/", 1)[1].split(".")[0])
+        html = r["html"].decode("utf-8", errors="replace")
+        assert extract_urls_str(html) == _links_for_index(
+            idx, seed, n, url_fmt=url_fmt), r["url"]
+        assert extract_meta_str(html) == _meta_for_index(
+            idx, seed, vocab), r["url"]
+        checked += 1
+    assert checked > 300
+
+
+def test_outlink_edge_cases():
+    from ipfs_search_spark.functions.extract import (
+        extract_meta_str, extract_urls_str,
+    )
+    # entity unescape, quote styles, fragment/empty drop, dedupe, comments
+    html = ('<a href="https://x.example/a?p=1&amp;q=2">t</a>'
+            "<a href='https://y.example/b'>u</a>"
+            '<a href=https://z.example/c>v</a>'
+            '<a href="#frag">w</a><a href="">x</a>'
+            '<a href="https://x.example/a?p=1&amp;q=2">again</a>'
+            '<!-- <a href="https://hidden.example/"></a> -->')
+    assert extract_urls_str(html) == [
+        "https://x.example/a?p=1&q=2", "https://y.example/b",
+        "https://z.example/c"]
+    # meta attribute order + entity content; unknown names ignored
+    html2 = ('<meta content="a &amp; b" name="description">'
+             '<meta name="keywords" content="k1, k2">'
+             '<meta name="viewport" content="width=device-width">'
+             '<meta name="author" content="">')
+    assert extract_meta_str(html2) == {
+        "description": "a & b", "keywords": "k1, k2"}
+
+
+def test_canonical_documents_urls_and_meta(spark, pages):
+    """canonical_documents stores the harvested outlink array and the full
+    metadata map (the reference's urls field + metadata island)."""
+    from ipfs_search_spark.operators.index_build import canonical_documents
+    docs = canonical_documents(pages, max_bytes=1 << 15).cache()
+    ok = docs.filter(F.col("status") == "ok")
+    assert ok.filter(F.size("urls") > 0).count() > 300
+    assert ok.filter(
+        F.element_at("metadata", "description").isNotNull()).count() > 300
+    assert ok.filter(
+        F.element_at("metadata", "author").isNotNull()).count() > 150
+    docs.unpersist()
+
+
 def test_title_inside_comment_or_script_ignored():
     from ipfs_search_spark.functions.extract import extract_title_str
     html = ("<!-- <title>Old draft</title> --><head>"
