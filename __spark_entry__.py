@@ -722,6 +722,18 @@ def q_minhash_fingerprint(spark, sf_dir):
 LSH_MAX_BUCKET = 100  # band-bucket cap (skew guard) — mirrored in the oracle
 
 
+def q_fingerprint_lookup(spark, sf_dir):
+    """Query-time fingerprint near-dup lookup ("more like this") — the
+    reference's fingerprint default_field: docs sharing minhash bands with
+    the query text (here: doc 7's text), ranked by shared-band count."""
+    from ipfs_search_spark.operators.dedup import minhash_bands, more_like_this
+    docs = _t(spark, sf_dir, "documents")
+    qtext = docs.filter(F.col("doc_id") == 7).select("text").collect()[0][0]
+    bands = minhash_bands(docs, "doc_id", "text")
+    out = more_like_this(bands, "doc_id", qtext)
+    return out.filter(F.col("doc_id") != 7).select("doc_id", "n_shared_bands")
+
+
 def q_lsh_neardup(spark, sf_dir):
     from ipfs_search_spark.operators.dedup import (
         minhash_lsh_pairs, ngram_jaccard_verify,
@@ -792,6 +804,24 @@ def q_embed_neardup(spark, sf_dir):
                        "label"))
     return cosine_neardup_pairs(emb.unionByName(planted), "label",
                                 threshold=0.8)
+
+
+BOOLEAN_QUERY = "(data^1.5 OR batch) AND merge -stream"
+
+
+def q_boolean(spark, sf_dir):
+    """Nested boolean query_string through the engine (grouping, per-term
+    ^boost, AND/OR, prohibited clause): docs must satisfy
+    (data OR batch) AND merge AND NOT stream; score = sum of matched
+    positive clauses with data's idf boosted 1.5x."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, BOOLEAN_QUERY)], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
 
 
 def q_quality(spark, sf_dir):
@@ -958,8 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_reach": q_crawl_reach,
         "q_outlinks": q_outlinks,
         "q_crawl_html": q_crawl_html,
+        "q_boolean": q_boolean,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
+        "q_fingerprint_lookup": q_fingerprint_lookup,
         "q_lsh_neardup": q_lsh_neardup,
         "q_simhash_neardup": q_simhash_neardup,
         "q_ann_cosine": q_ann_cosine,
@@ -1063,6 +1095,51 @@ FROM dl
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
+        "q_boolean": f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), tstats AS (
+  SELECT term, count(*) AS df FROM toks
+  WHERE term IN ('batch', 'data', 'merge') GROUP BY term
+), contrib AS (
+  SELECT t.doc_id,
+         (CASE t.term WHEN 'data' THEN 1.5 ELSE 1.0 END) *
+         ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+         (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                  0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs)))) AS c
+  FROM toks t
+  JOIN tstats ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term IN ('batch', 'data', 'merge')
+), sets AS (
+  SELECT doc_id,
+         bool_or(term = 'data') AS has_data,
+         bool_or(term = 'batch') AS has_batch,
+         bool_or(term = 'merge') AS has_merge,
+         bool_or(term = 'stream') AS has_stream
+  FROM toks WHERE term IN ('data', 'batch', 'merge', 'stream')
+  GROUP BY doc_id
+), eligible AS (
+  SELECT doc_id FROM sets
+  WHERE (has_data OR has_batch) AND has_merge AND NOT has_stream
+), scored AS (
+  SELECT c.doc_id, CAST(round(sum(c.c), 6) AS DOUBLE) AS score
+  FROM contrib c JOIN eligible USING (doc_id) GROUP BY c.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked
+WHERE rank <= {FLAGSHIP_K} ORDER BY rank
+""",
         "q_match_all_filter": """
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
        CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank
@@ -1146,6 +1223,32 @@ SELECT a.doc_id,
        list_aggregate(list_transform(sh3.s, x -> md5('2|' || x)), 'min') AS mh2,
        list_aggregate(list_transform(sh3.s, x -> md5('3|' || x)), 'min') AS mh3
 FROM arr a JOIN sh3 ON a.doc_id = sh3.doc_id JOIN sh5 ON a.doc_id = sh5.doc_id
+""",
+        "q_fingerprint_lookup": f"""
+WITH arr AS (
+  SELECT doc_id, {_TOK} AS a FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLE3_SQL} AS s FROM arr WHERE len(a) >= 3
+), sig AS (
+  SELECT doc_id,
+         [{", ".join(
+             f"list_aggregate(list_transform(s, "
+             f"x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8)), "
+             f"'min')" for i in range(8))}] AS sg
+  FROM sh
+), bands AS (
+  SELECT doc_id, unnest([md5('0|' || sg[1] || '|' || sg[2]),
+                         md5('1|' || sg[3] || '|' || sg[4]),
+                         md5('2|' || sg[5] || '|' || sg[6]),
+                         md5('3|' || sg[7] || '|' || sg[8])]) AS band_key
+  FROM sig
+), q AS (
+  SELECT band_key FROM bands WHERE doc_id = 7
+)
+SELECT b.doc_id, count(*) AS n_shared_bands
+FROM bands b JOIN q USING (band_key)
+WHERE b.doc_id != 7
+GROUP BY b.doc_id
 """,
         "q_lsh_neardup": f"""
 WITH base AS ({_NEARDUP_BASE_SQL}),

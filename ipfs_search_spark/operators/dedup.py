@@ -15,6 +15,8 @@ OpenSearch stores the sketch; the LSH-join materialization is ours.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -22,6 +24,33 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from ipfs_search_spark.functions.textstats import minhash_signature, shingles
+
+
+def _minhash_signatures(df: DataFrame, key: str, text_col: str,
+                        n_hashes: int, shingle_n: int) -> DataFrame:
+    """(_id, _h0.._h{n-1}) minhash signature table: one explode pass over
+    shingle rows, ceil(n_hashes/4) chained md5s per shingle (each md5 = 32
+    hex chars = 4 independent 32-bit slots compared as hex substrings),
+    map-side-combinable min aggs."""
+    n_chains = (n_hashes + 3) // 4
+    sh = df.select(F.col(key).alias("_id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    hh = F.concat(*[F.md5(F.concat(F.lit(f"{c}|"), F.col("_sh")))
+                    for c in range(n_chains)])
+    return sh.select("_id", hh.alias("_hh")).groupBy("_id").agg(*[
+        F.min(F.substring("_hh", 8 * i + 1, 8)).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ])
+
+
+def _band_key_cols(n_hashes: int, bands: int) -> list:
+    rows_per_band = n_hashes // bands
+    return [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"_h{b * rows_per_band + i}")
+                            for i in range(rows_per_band)])).alias("band_key")
+        for b in range(bands)
+    ]
 
 
 def exact_dedup(df: DataFrame, key: str, text_col: str = "text",
@@ -65,30 +94,15 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
     md5 = 32 hex chars = 4 independent 32-bit slot hashes compared as hex
     substrings), not one md5 PER SLOT — 4x less hashing on the hot explode.
     """
-    rows_per_band = n_hashes // bands
-    n_chains = (n_hashes + 3) // 4
     # One explode pass: shingle rows → chained md5s → map-side-combinable
     # min aggs. (A nested-array formulation re-evaluates the shingle
     # expression once per signature slot under Catalyst projection collapse —
     # O(n_hashes×bands) recomputation; the explode+groupBy shape computes
     # each shingle hash exactly once and scales to any corpus.)
-    sh = df.select(F.col(key).alias("_id"),
-                   F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
-    hh = F.concat(*[F.md5(F.concat(F.lit(f"{c}|"), F.col("_sh")))
-                    for c in range(n_chains)])
-    sh = sh.select("_id", hh.alias("_hh"))
-    sig = sh.groupBy("_id").agg(*[
-        F.min(F.substring("_hh", 8 * i + 1, 8)).alias(f"_h{i}")
-        for i in range(n_hashes)
-    ])
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"_h{b * rows_per_band + i}")
-                            for i in range(rows_per_band)])).alias("band_key")
-        for b in range(bands)
-    ]
+    sig = _minhash_signatures(df, key, text_col, n_hashes, shingle_n)
     exploded = sig.select(
-        "_id", F.explode(F.array(*band_cols)).alias("band_key"))
+        "_id",
+        F.explode(F.array(*_band_key_cols(n_hashes, bands))).alias("band_key"))
     if max_bucket is not None:
         keep = (exploded.groupBy("band_key")
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -112,25 +126,63 @@ def lsh_dropped_buckets(df: DataFrame, key: str, text_col: str = "text",
     """Audit view of what minhash_lsh_pairs' max_bucket guard drops:
     (band_key, n_docs) for every oversized bucket — no silent truncation;
     pipelines log/export this alongside the pair output."""
-    rows_per_band = n_hashes // bands
+    sig = _minhash_signatures(df, key, text_col, n_hashes, shingle_n)
+    return (sig.select(
+        "_id",
+        F.explode(F.array(*_band_key_cols(n_hashes, bands))).alias("band_key"))
+        .groupBy("band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket))
+
+
+def minhash_bands(df: DataFrame, key: str, text_col: str = "text",
+                  n_hashes: int = 8, bands: int = 4,
+                  shingle_n: int = 3) -> DataFrame:
+    """(key, band_key) fingerprint lookup table — the query-time near-dup
+    surface of the reference's `fingerprint` default_field (5-shingle +
+    min_hash analyzer, /root/reference/docs/indices/files.json:39-63; a
+    search with fingerprint matching finds near-duplicates of the query
+    text). At 100 TB this table is written partitioned/bucketed by band_key
+    so a more-like-this probe reads only the probed buckets."""
+    sig = _minhash_signatures(df, key, text_col, n_hashes, shingle_n)
+    return sig.select(
+        F.col("_id").alias(key),
+        F.explode(F.array(*_band_key_cols(n_hashes, bands))).alias("band_key"))
+
+
+def query_band_keys(text: str, n_hashes: int = 8, bands: int = 4,
+                    shingle_n: int = 3) -> list[str]:
+    """Driver-side mirror of the banded-minhash chain for ONE query string
+    (pure hashlib — no Spark job): the band keys a more-like-this probe
+    filters on. Bit-identical to _minhash_signatures/_band_key_cols."""
+    from ipfs_search_spark.functions.tokenize import tokenize_str
+    toks = tokenize_str(text, "en")
+    shs = [" ".join(toks[i:i + shingle_n])
+           for i in range(len(toks) - shingle_n + 1)]
+    if not shs:
+        return []
     n_chains = (n_hashes + 3) // 4
-    sh = df.select(F.col(key).alias("_id"),
-                   F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
-    hh = F.concat(*[F.md5(F.concat(F.lit(f"{c}|"), F.col("_sh")))
-                    for c in range(n_chains)])
-    sig = sh.select("_id", hh.alias("_hh")).groupBy("_id").agg(*[
-        F.min(F.substring("_hh", 8 * i + 1, 8)).alias(f"_h{i}")
-        for i in range(n_hashes)
-    ])
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"_h{b * rows_per_band + i}")
-                            for i in range(rows_per_band)])).alias("band_key")
-        for b in range(bands)
-    ]
-    return (sig.select("_id", F.explode(F.array(*band_cols)).alias("band_key"))
-            .groupBy("band_key").agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") > max_bucket))
+    hhs = ["".join(hashlib.md5(f"{c}|{s}".encode()).hexdigest()
+                   for c in range(n_chains)) for s in shs]
+    slots = [min(h[8 * i:8 * i + 8] for h in hhs) for i in range(n_hashes)]
+    rpb = n_hashes // bands
+    return [hashlib.md5("|".join([str(b)] + slots[b * rpb:(b + 1) * rpb])
+                        .encode()).hexdigest() for b in range(bands)]
+
+
+def more_like_this(bands_df: DataFrame, key: str, text: str,
+                   n_hashes: int = 8, bands: int = 4,
+                   shingle_n: int = 3) -> DataFrame:
+    """Fingerprint near-dup lookup at query time: docs sharing ≥1 minhash
+    band with the query text, with the shared-band count as the similarity
+    proxy (n_shared/bands estimates jaccard band agreement). The filter is
+    a tiny IN-list over the band_key partition column — partition-pruned
+    I/O at scale, never a scan."""
+    keys = query_band_keys(text, n_hashes, bands, shingle_n)
+    if not keys:
+        return (bands_df.filter(F.lit(False))
+                .groupBy(key).agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    return (bands_df.filter(F.col("band_key").isin(keys))
+            .groupBy(key).agg(F.count(F.lit(1)).alias("n_shared_bands")))
 
 
 def ngram_jaccard_verify(df: DataFrame, pairs: DataFrame, key: str,

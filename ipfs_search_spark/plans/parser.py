@@ -2,16 +2,24 @@
 
 The reference exposes OpenSearch `query_string` queries
 (/root/reference/docs/api.md:4-8): free terms, `field:value` filters,
-range filters like `last-seen:>now-1M`, and `-term` negation. We parse to a
-structured Query the scorer + Catalyst filters consume.
+range filters like `last-seen:>now-1M`, `-term` negation, and the full
+boolean grammar (AND/OR/NOT, parentheses, per-term `^boost`). We parse to
+a structured Query the scorer + Catalyst filters consume.
 
 Supported grammar (superset of what the reference's own doc examples use):
   term            free text term (analyzed with the canonical tokenizer)
+  term^2.5        boosted term (multiplies the term's idf, Lucene-style)
   "a b"           phrase: terms must appear ADJACENT in analyzed order
                   (positional index required); quoted phrases are required
                   clauses regardless of mode, and their terms also score
-  -term           NOT term (left-anti on the term's doc set)
+  -term / NOT t   NOT term (left-anti on the term's doc set)
   -"a b"          NOT phrase (docs containing the exact phrase are excluded)
+  a AND b, a OR b boolean operators (uppercase, Lucene query_string rules);
+  ( ... )         grouping; arbitrary nesting of AND/OR/NOT over terms and
+                  phrases. Implicit adjacency joins with the default mode
+                  operator. Scoring: every matched positive clause
+                  contributes its (boosted) BM25 term score, like
+                  OpenSearch's should/must summation.
   field:value     equality filter (lang, status, url)
   -field:value    negated filter (must_not: matching docs excluded; docs
                   with a NULL field are kept)
@@ -19,6 +27,14 @@ Supported grammar (superset of what the reference's own doc examples use):
                                      whose name matches — docs/api.md:4)
   last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
   size:>N, size:<N                   numeric range filter
+
+Restrictions (documented, errors not silent semantic changes):
+- filters are top-level conjuncts: they may not be OR'd or nested in
+  parentheses (a filter restricts the index scan; OR-ing it with a scoring
+  clause would require a constant-score match-all branch the reference API
+  does not produce either);
+- a boolean query needs at least one positive clause (pure `NOT x` trees
+  match nothing — Lucene behaves the same without an explicit match-all).
 
 A query with ONLY filters (no terms/phrases) is match-all-then-filter:
 every doc passing the filters, constant score, ranked by doc_id.
@@ -42,7 +58,9 @@ def _analyze(tok: str) -> list[str]:
 _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
                   "first-seen", "first_seen", "size", "references.name"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
-_TOKEN_RE = re.compile(r'-?"[^"]*"|\S+')
+_TOKEN_RE = re.compile(r'-?"[^"]*"(?:\^[0-9.]+)?|\(|\)|[^\s()]+')
+_BOOST_RE = re.compile(r"^(.*?)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
+_OPS = {"AND", "OR", "NOT", "(", ")", "-"}
 
 
 @dataclass
@@ -68,15 +86,114 @@ class Query:
     # True when the query string had no scoring clause at all (filters only):
     # match-all semantics rather than empty results
     match_all: bool = False
+    # boolean tree (set only when the flat fields cannot express the query):
+    # nested tuples/lists ('and'|'or', child...) / ('not', child) over leaf
+    # group keys — a term string, or a phrase key present in bool_phrases
+    bool_tree: object = None
+    # phrase group key -> analyzed term list (boolean-tree phrases)
+    bool_phrases: dict = field(default_factory=dict)
+    # leaf terms appearing ONLY under NOT (fetched for presence, never score)
+    bool_neg_terms: list = field(default_factory=list)
+    # group key -> boost (^N); missing keys default 1.0
+    boosts: dict = field(default_factory=dict)
 
 
 def _norm_field(f: str) -> str:
     return f.replace("-", "_")
 
 
+def _is_filter_tok(tok: str) -> Filter | None:
+    """Return the parsed Filter if tok is a field:value filter, else None."""
+    neg = tok.startswith("-") and len(tok) > 1
+    if neg:
+        tok = tok[1:]
+    if ":" not in tok or tok.startswith('"'):
+        return None
+    fld, _, val = tok.partition(":")
+    if fld.lower() not in _FILTER_FIELDS:
+        return None
+    op = "="
+    for cand in (">=", "<=", ">", "<"):
+        if val.startswith(cand):
+            op, val = cand, val[len(cand):]
+            break
+    if fld.lower() == "references.name" and op != "=":
+        # parse-time so the error fires even on indexes whose documents
+        # table lacks a references column
+        raise QueryParseError(
+            f"references.name supports only equality, got op {op!r}")
+    return Filter(_norm_field(fld.lower()), op, val, neg=neg)
+
+
+def _split_boost(tok: str) -> tuple[str, float | None]:
+    m = _BOOST_RE.match(tok)
+    if m and m.group(1):
+        return m.group(1), float(m.group(2))
+    return tok, None
+
+
 def parse_query(q: str, mode: str = "or") -> Query:
     out = Query(mode=mode)
-    for raw in _TOKEN_RE.findall(q):
+    toks = _TOKEN_RE.findall(q)
+
+    # filters are top-level conjuncts — strip them from the stream first
+    # (with any explicit AND gluing them in); a filter under parens, OR, or
+    # NOT is a parse error, not a silently different query
+    kept: list[str] = []
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        flt = _is_filter_tok(t) if t not in _OPS else None
+        if flt is None:
+            kept.append(t)
+            i += 1
+            continue
+        if depth > 0:
+            raise QueryParseError(
+                f"filter {t!r} inside parentheses: filters are top-level "
+                "conjuncts")
+        prev = kept[-1] if kept else None
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if prev in ("OR",) or nxt == "OR":
+            raise QueryParseError(
+                f"filter {t!r} cannot be an OR operand: filters are "
+                "conjunctive")
+        if prev in ("NOT", "-"):
+            flt.neg = not flt.neg
+            kept.pop()
+            prev = kept[-1] if kept else None
+        if prev == "AND":
+            kept.pop()  # "a AND lang:de" — the AND is the implicit conjunct
+        elif nxt == "AND":
+            i += 1  # "lang:de AND a"
+        out.filters.append(flt)
+        i += 1
+    toks = kept
+
+    has_syntax = any(
+        t in _OPS or (_split_boost(t)[1] is not None) for t in toks)
+    if not has_syntax:
+        _parse_flat(out, toks)
+    else:
+        _parse_tree(out, toks, mode)
+    out.terms = sorted(set(out.terms))
+    out.not_terms = sorted(set(out.not_terms) - set(out.terms))
+    out.match_all = (not out.terms and not out.phrases
+                     and out.bool_tree is None
+                     and bool(out.filters or out.not_terms
+                              or out.not_phrases))
+    return out
+
+
+def _parse_flat(out: Query, toks: list[str]) -> None:
+    """The operator-free path: terms, phrases, -negation (original
+    semantics, used by every non-boolean query)."""
+    for raw in toks:
         neg = raw.startswith("-") and len(raw) > 1
         tok = raw[1:] if neg else raw
         if tok.startswith('"') and tok.endswith('"'):
@@ -91,31 +208,223 @@ def parse_query(q: str, mode: str = "or") -> Query:
                 out.phrases.append(terms)
                 out.terms.extend(terms)  # phrase terms also score
             continue
-        if ":" in tok:
-            fld, _, val = tok.partition(":")
-            if fld.lower() in _FILTER_FIELDS:
-                op = "="
-                for cand in (">=", "<=", ">", "<"):
-                    if val.startswith(cand):
-                        op, val = cand, val[len(cand):]
-                        break
-                if fld.lower() == "references.name" and op != "=":
-                    # parse-time so the error fires even on indexes whose
-                    # documents table lacks a references column
-                    raise QueryParseError(
-                        "references.name supports only equality, got op "
-                        f"{op!r}")
-                out.filters.append(Filter(_norm_field(fld.lower()), op, val,
-                                          neg=neg))
-                continue
         terms = _analyze(tok)
         (out.not_terms if neg else out.terms).extend(terms)
-    out.terms = sorted(set(out.terms))
-    out.not_terms = sorted(set(out.not_terms) - set(out.terms))
-    out.match_all = (not out.terms and not out.phrases
-                     and bool(out.filters or out.not_terms
-                              or out.not_phrases))
-    return out
+
+
+class _TreeParser:
+    """Recursive descent for the boolean grammar. AND binds tighter than OR;
+    implicit adjacency joins with the default mode operator; NOT/'-' are
+    unary. Leaves: ('term', t, boost|None), ('phrase', (t...), boost|None),
+    ('empty',) for tokens the analyzer drops."""
+
+    def __init__(self, toks: list[str], mode: str):
+        self.toks, self.i, self.mode = toks, 0, mode
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        if not self.toks:
+            return ("empty",)
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"unexpected token {self.peek()!r}")
+        return node
+
+    def or_expr(self):
+        # Lucene query_string rule: a NOT clause joined IMPLICITLY into a
+        # should-list is a prohibited clause of the whole group ("a -b" =
+        # a AND NOT b), while an explicit "a OR NOT b" stays disjunctive.
+        disj, excl = [], []
+        first = True
+        while True:
+            if first:
+                node, explicit, first = self.and_expr(), False, False
+            else:
+                t = self.peek()
+                if t == "OR":
+                    self.take()
+                    node, explicit = self.and_expr(), True
+                elif self.mode == "or" and t is not None and t != ")":
+                    node, explicit = self.and_expr(), False
+                else:
+                    break
+            if node == ("empty",):
+                continue
+            if not explicit and node[0] == "not":
+                excl.append(node)
+            else:
+                disj.append(node)
+        if not disj and not excl:
+            return ("empty",)
+        core = (disj[0] if len(disj) == 1
+                else ("or", *disj) if disj else None)
+        if not excl:
+            return core
+        if core is None:
+            return excl[0] if len(excl) == 1 else ("and", *excl)
+        return ("and", core, *excl)
+
+    def and_expr(self):
+        nodes = [self.unary()]
+        while True:
+            t = self.peek()
+            if t == "AND":
+                self.take()
+                nodes.append(self.unary())
+            elif self.mode == "and" and t not in (None, ")", "OR"):
+                nodes.append(self.unary())
+            else:
+                break
+        nodes = [n for n in nodes if n != ("empty",)]
+        if not nodes:
+            return ("empty",)
+        return nodes[0] if len(nodes) == 1 else ("and", *nodes)
+
+    def unary(self):
+        if self.peek() in ("NOT", "-"):
+            self.take()
+            child = self.unary()
+            return ("empty",) if child == ("empty",) else ("not", child)
+        return self.primary()
+
+    def primary(self):
+        t = self.take()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t == "(":
+            node = self.or_expr()
+            if self.take() != ")":
+                raise QueryParseError("unbalanced parenthesis")
+            return node
+        if t in (")", "AND", "OR"):
+            raise QueryParseError(f"dangling token {t!r}")
+        neg = t.startswith("-") and len(t) > 1
+        if neg:
+            t = t[1:]
+        body, boost = _split_boost(t)
+        if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+            terms = _analyze(body[1:-1])
+            if not terms:
+                node = ("empty",)
+            elif len(terms) == 1:
+                node = ("term", terms[0], boost)
+            else:
+                node = ("phrase", tuple(terms), boost)
+        else:
+            terms = _analyze(body)
+            if not terms:
+                node = ("empty",)
+            elif len(terms) == 1:
+                node = ("term", terms[0], boost)
+            else:
+                # one user token analyzing to several terms joins with the
+                # default operator
+                op = "and" if self.mode == "and" else "or"
+                node = (op, *[("term", x, boost) for x in terms])
+        return ("not", node) if neg and node != ("empty",) else node
+
+
+def _boost_set(out: Query, key: str, boost: float | None) -> None:
+    if boost is not None:
+        out.boosts[key] = max(out.boosts.get(key, 0.0), float(boost))
+
+
+def _try_flatten(out: Query, tree) -> bool:
+    """Map a parsed tree onto the flat Query fields when semantics allow
+    (single leaf; one level of AND over leaves/negated leaves; one level of
+    OR over plain terms). Keeps every non-nested query on the engine's flat
+    fast path (pruning, per-shard AND counts)."""
+    kind = tree[0]
+    if kind == "term":
+        out.terms.append(tree[1])
+        _boost_set(out, tree[1], tree[2])
+        return True
+    if kind == "phrase":
+        out.phrases.append(list(tree[1]))
+        out.terms.extend(tree[1])
+        for t in tree[1]:
+            _boost_set(out, t, tree[2])
+        return True
+    if kind == "not":
+        c = tree[1]
+        if c[0] == "term":
+            out.not_terms.append(c[1])
+            return True
+        if c[0] == "phrase":
+            out.not_phrases.append(list(c[1]))
+            return True
+        return False
+    if kind in ("and", "or"):
+        kids = tree[1:]
+        terms = [k for k in kids if k[0] == "term"]
+        phrases = [k for k in kids if k[0] == "phrase"]
+        negs = [k for k in kids
+                if k[0] == "not" and k[1][0] in ("term", "phrase")]
+        if len(terms) + len(phrases) + len(negs) != len(kids):
+            return False
+        if kind == "or":
+            # flat OR cannot carry required phrases or scoped negation
+            if phrases or negs:
+                return False
+            out.mode = "or"
+        else:
+            out.mode = "and"
+        for k in terms:
+            out.terms.append(k[1])
+            _boost_set(out, k[1], k[2])
+        for k in phrases:
+            out.phrases.append(list(k[1]))
+            out.terms.extend(k[1])
+            for t in k[1]:
+                _boost_set(out, t, k[2])
+        for k in negs:
+            if k[1][0] == "term":
+                out.not_terms.append(k[1][1])
+            else:
+                out.not_phrases.append(list(k[1][1]))
+        return True
+    return False
+
+
+def _encode_tree(out: Query, node, neg_depth: int = 0):
+    """Lower a parse tree to the engine form: leaf group keys (term string /
+    phrase key), nested ('and'|'or'|'not', ...) lists. Positive-context
+    terms score; NOT-context-only terms are presence probes."""
+    kind = node[0]
+    if kind == "term":
+        t = node[1]
+        (out.terms if neg_depth % 2 == 0 else out.bool_neg_terms).append(t)
+        _boost_set(out, t, node[2])
+        return t
+    if kind == "phrase":
+        terms = list(node[1])
+        key = "ph:" + " ".join(terms)
+        out.bool_phrases[key] = terms
+        tgt = out.terms if neg_depth % 2 == 0 else out.bool_neg_terms
+        tgt.extend(terms)
+        for t in terms:
+            _boost_set(out, t, node[2])
+        return key
+    if kind == "not":
+        return ["not", _encode_tree(out, node[1], neg_depth + 1)]
+    return [kind] + [_encode_tree(out, c, neg_depth) for c in node[1:]]
+
+
+def _parse_tree(out: Query, toks: list[str], mode: str) -> None:
+    tree = _TreeParser(toks, mode).parse()
+    if tree == ("empty",):
+        return
+    if _try_flatten(out, tree):
+        return
+    out.bool_tree = _encode_tree(out, tree)
+    out.bool_neg_terms = sorted(set(out.bool_neg_terms) - set(out.terms))
 
 
 _TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")

@@ -158,7 +158,17 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             pj = pdf["phrase_json"].iloc[0]
             if pj:
                 phrases = _json.loads(pj)
+        # boolean-tree spec (parser.bool_tree lowered to group keys): the
+        # query's docs must satisfy the tree over per-group presence bits
+        bool_spec = None
+        if "bool_json" in pdf.columns:
+            bj = pdf["bool_json"].iloc[0]
+            if bj:
+                bool_spec = _json.loads(bj)
         phrase_terms = {t for grp in phrases for var in grp for t in var}
+        if bool_spec:
+            phrase_terms |= {t for vars_ in bool_spec["phrases"].values()
+                             for var in vars_ for t in var}
         pos_acc: dict = {t: [] for t in phrase_terms}
         avgdls = pdf["avgdl"].to_numpy(dtype=np.float64)
         idfs = pdf["idf"].to_numpy(dtype=np.float64) * \
@@ -179,11 +189,14 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         else:
             np.add.at(group_ub, row_group, term_max_ub)
 
+        # per-query AND-required group count (0 = OR semantics); pruning is
+        # per-query too — sound only for flat-OR, non-phrase, non-boolean
+        expected = int(pdf["n_groups"].iloc[0])
         theta = 0.0
         solo = None
         best_i = None
-        if prune and n_rows > 1 and not keep_all and mode == "or" \
-                and not phrases:
+        if prune and n_rows > 1 and not keep_all and expected == 0 \
+                and not phrases and bool_spec is None:
             best_i = int(np.argmax(term_max_ub))
             ids_l, sc_l = [], []
             for blk in pdf["blocks"].iloc[best_i]:
@@ -253,23 +266,23 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             np.concatenate(([True], seg_ids[1:] != seg_ids[:-1])))
         doc_ids = seg_ids[doc_start]
         doc_scores = np.add.reduceat(seg_scores, doc_start)
-        if mode == "and":
-            # expected count comes from the QUERY (n_groups column), not from
-            # the rows present in this shard — a shard lacking one query
-            # term entirely must yield zero AND matches
-            expected = int(pdf["n_groups"].iloc[0])
+        if expected > 0:
+            # AND: required count comes from the QUERY (n_groups column),
+            # not from the rows present in this shard — a shard lacking one
+            # query term entirely must yield zero AND matches
             doc_group_counts = np.add.reduceat(
                 np.ones(seg_ids.size, dtype=np.int64), doc_start)
             keep = doc_group_counts == expected
             doc_ids, doc_scores = doc_ids[keep], doc_scores[keep]
-        if phrases:
-            pos_data = {}
+        pos_data: dict = {}
+        if phrase_terms:
             for t, lst in pos_acc.items():
                 if lst:
                     ids_c = np.concatenate([x[0] for x in lst])
                     tfs_c = np.concatenate([x[1] for x in lst])
                     pos_c = np.concatenate([x[2] for x in lst])
                     pos_data[t] = (np.repeat(ids_c, tfs_c), pos_c)
+        if phrases:
             # a group matches a doc iff ANY of its variants matches
             matched = [
                 (np.unique(np.concatenate(
@@ -289,6 +302,42 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             for m in matched:
                 mask &= np.isin(doc_ids, m)
             doc_ids, doc_scores = doc_ids[mask], doc_scores[mask]
+        if bool_spec is not None and doc_ids.size:
+            # presence matrix over the (doc, group) segments, then evaluate
+            # the boolean tree vectorized; phrase keys resolve through the
+            # positional matcher (any field variant satisfies the phrase).
+            # Scores stay the sum of matched positive clauses — negated
+            # leaves carry idf 0, so they gate matching without scoring.
+            seg_groups = grps[seg_idx]
+            rows_idx = np.searchsorted(doc_ids.view(np.uint64),
+                                       seg_ids.view(np.uint64))
+            M = np.zeros((doc_ids.size, n_groups), dtype=bool)
+            M[rows_idx, seg_groups] = True
+            ph_pres = {}
+            for key, vars_ in bool_spec["phrases"].items():
+                mlist = [_match_phrase(pos_data, var) for var in vars_]
+                md = (np.unique(np.concatenate(mlist)) if mlist
+                      else np.empty(0, np.int64))
+                ph_pres[key] = np.isin(doc_ids, md)
+
+            def _ev(node):
+                if isinstance(node, str):
+                    if node in ph_pres:
+                        return ph_pres[node]
+                    gi = group_of.get(node)
+                    if gi is None:  # term absent from the whole index
+                        return np.zeros(doc_ids.size, dtype=bool)
+                    return M[:, gi]
+                op = node[0]
+                if op == "not":
+                    return ~_ev(node[1])
+                acc = _ev(node[1])
+                for c in node[2:]:
+                    acc = (acc & _ev(c)) if op == "and" else (acc | _ev(c))
+                return acc
+
+            bmask = _ev(bool_spec["tree"])
+            doc_ids, doc_scores = doc_ids[bmask], doc_scores[bmask]
         if not keep_all and doc_ids.size > k:
             # exact top-k by (score DESC, doc_id ASC) — the same tie-break
             # as the global rank window and the oracle; a plain argpartition
@@ -419,14 +468,15 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
-    has_any_phrase = any(p.phrases or p.not_phrases for p in parsed.values())
+    has_any_phrase = any(p.phrases or p.not_phrases or p.bool_phrases
+                         for p in parsed.values())
     if has_any_phrase and not sx.positional:
         raise ValueError(
             "phrase query requires a positional index "
             "(build_index(..., positions=True))")
     matchall_qids = sorted(q for q, p in parsed.items() if p.match_all)
     base_terms = sorted({t for p in parsed.values()
-                         for t in (p.terms + p.not_terms +
+                         for t in (p.terms + p.not_terms + p.bool_neg_terms +
                                    [t for ph in p.not_phrases for t in ph])})
     if not base_terms and not matchall_qids:
         return spark.createDataFrame(
@@ -475,7 +525,9 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         neg = [t for t in p.not_terms if variants(t)]
         # AND semantics: a term absent from the whole index matches nothing,
         # so the conjunction is empty — don't silently drop the term
-        if p.mode == "and" and not p.match_all and len(pos) < len(p.terms):
+        # (boolean trees handle absent terms as always-false leaves instead)
+        if p.bool_tree is None and p.mode == "and" and not p.match_all \
+                and len(pos) < len(p.terms):
             continue
         # quoted phrases are required clauses: a group with no live variant
         # (a term absent from every field's vocabulary) cannot match, so the
@@ -486,6 +538,15 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         phrase_json = _json.dumps(pos_groups) if p.phrases else ""
         live_np = [g for g in phrase_groups(p.not_phrases) if g]
         negp_json = _json.dumps(live_np) if live_np else ""
+        bool_json = ""
+        if p.bool_tree is not None:
+            bphrases = {key: phrase_groups([terms])[0]
+                        for key, terms in p.bool_phrases.items()}
+            bool_json = _json.dumps({"tree": p.bool_tree,
+                                     "phrases": bphrases})
+        # per-query AND-required count; 0 = OR / boolean-tree semantics
+        n_grp = len(pos) if (p.mode == "and" and p.bool_tree is None
+                             and not p.match_all) else 0
         if not p.match_all:
             for t in pos:
                 for fld, ft in variants(t):
@@ -496,17 +557,26 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                         nf, af = fstats[fld]
                         t_idf, boost, av = (idf(nf, tstats[ft][0]),
                                             float(fields[fld]), af)
+                    boost *= float(p.boosts.get(t, 1.0))  # ^boost on idf
                     qterm_rows.append((qid, ft, t_idf, "pos", boost, t, av,
-                                       len(pos), phrase_json))
+                                       n_grp, phrase_json, bool_json))
+            if p.bool_tree is not None:
+                # NOT-context-only leaves: fetched for presence bits, idf 0
+                # so they never contribute score
+                for t in p.bool_neg_terms:
+                    for fld, ft in variants(t):
+                        av = avgdl if fld is None else fstats[fld][1]
+                        qterm_rows.append((qid, ft, 0.0, "pos", 1.0, t, av,
+                                           n_grp, phrase_json, bool_json))
         for t in neg:
             for fld, ft in variants(t):
                 qterm_rows.append((qid, ft, 0.0, "neg", 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
-                                   len(pos), ""))
+                                   0, "", ""))
         for ft in sorted({t for g in live_np for var in g for t in var}):
             # variants already carry posting-term keys (fielded or bare)
             qterm_rows.append((qid, ft, 0.0, "negp", 1.0, ft, avgdl,
-                               len(pos), negp_json))
+                               0, negp_json, ""))
     if not qterm_rows and not matchall_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
@@ -525,7 +595,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             qterm_rows,
             "query_id int, term string, idf double, kind string, "
             "boost double, group string, avgdl double, n_groups int, "
-            "phrase_json string")
+            "phrase_json string, bool_json string")
         postings = (sx.postings
                     .filter(F.col("bucket").isin(buckets) &
                             F.col("term").isin(live_terms)))

@@ -1,0 +1,132 @@
+"""Boolean query grammar (AND/OR/NOT, parentheses, ^boost) — parser shapes
+and engine semantics vs first-principles doc sets.
+
+The reference's search surface is OpenSearch query_string
+(/root/reference/docs/api.md:4), whose grammar includes explicit boolean
+operators, grouping and per-term boost; the flat term/-term subset was
+covered in round 1, this covers the nested remainder."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ipfs_search_spark.plans.parser import QueryParseError, parse_query
+from ipfs_search_spark.plans.query import search
+
+
+def test_parser_tree_shapes():
+    p = parse_query("(a OR b) AND c")
+    assert p.bool_tree == ["and", ["or", "a", "b"], "c"]
+    assert p.terms == ["a", "b", "c"]
+    p = parse_query("a AND b OR c")  # AND binds tighter
+    assert p.bool_tree == ["or", ["and", "a", "b"], "c"]
+    p = parse_query('x AND (y OR "data spark")')
+    assert p.bool_tree == ["and", "x", ["or", "y", "ph:data spark"]]
+    assert p.bool_phrases == {"ph:data spark": ["data", "spark"]}
+    assert set(p.terms) == {"x", "y", "data", "spark"}
+
+
+def test_parser_flattens_simple_operators():
+    assert parse_query("a AND b").bool_tree is None
+    assert parse_query("a AND b").mode == "and"
+    assert parse_query("a OR b").mode == "or"
+    p = parse_query("a AND -b AND c")
+    assert p.bool_tree is None and p.not_terms == ["b"]
+    assert parse_query("NOT a").not_terms == ["a"]
+
+
+def test_parser_boost_and_implicit_not():
+    p = parse_query("merge^2.5 window")
+    assert p.bool_tree is None and p.boosts == {"merge": 2.5}
+    # implicit '-x' inside an OR group is a prohibited clause, not a disjunct
+    p = parse_query("(a -b)")
+    assert p.bool_tree is None
+    assert p.terms == ["a"] and p.not_terms == ["b"] and p.mode == "and"
+    # explicit OR NOT stays disjunctive
+    p = parse_query("a OR NOT b")
+    assert p.bool_tree == ["or", "a", ["not", "b"]]
+    assert p.bool_neg_terms == ["b"]
+
+
+def test_parser_errors():
+    for bad in ["(a OR b", "a)", "a AND", "OR a", "lang:de OR x",
+                "(x lang:de)", "x AND NOT"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+@pytest.fixture(scope="module")
+def docsets(spark, built_index):
+    """term -> doc_id set over the indexed corpus (first-principles)."""
+    io, _ = built_index
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    docs = io.read("documents").filter("status = 'ok'")
+    rows = (docs.select("doc_id",
+                        F.explode(tokens_array(F.col("text"))).alias("t"))
+            .filter(F.col("t").isin(["data", "merge", "batch", "hash",
+                                     "stream", "index"]))
+            .distinct().collect())
+    sets: dict = {}
+    for r in rows:
+        sets.setdefault(r["t"], set()).add(r["doc_id"])
+    return sets
+
+
+def _result_docs(spark, io, q, k=10_000):
+    return {r["doc_id"] for r in
+            search(spark, io, [(0, q)], k=k).collect()}
+
+
+def test_boolean_doc_sets(spark, built_index, docsets):
+    io, _ = built_index
+    d = docsets
+    got = _result_docs(spark, io, "(data OR merge) AND batch")
+    assert got == (d["data"] | d["merge"]) & d["batch"]
+    got = _result_docs(spark, io, "data AND (merge OR NOT batch)")
+    assert got == d["data"] & (d["merge"] | (d["data"] - d["batch"]))
+    got = _result_docs(spark, io, "(data AND hash) OR (merge AND stream)")
+    assert got == (d["data"] & d["hash"]) | (d["merge"] & d["stream"])
+    # implicit prohibited clause applies to the whole group
+    got = _result_docs(spark, io, "(data OR merge) -batch")
+    assert got == (d["data"] | d["merge"]) - d["batch"]
+
+
+def test_boolean_matches_flat_and(spark, built_index):
+    """A nested tree expressing a plain conjunction scores identically to
+    the flat AND path (same contributions, same ranks)."""
+    io, _ = built_index
+    tree = search(spark, io, [(0, "data AND (merge AND batch)")],
+                  k=50).collect()
+    flat = search(spark, io, [(0, "data merge batch")], k=50,
+                  mode="and").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in tree] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in flat]
+
+
+def test_boost_raises_scores(spark, built_index):
+    io, _ = built_index
+    plain = {r["doc_id"]: r["score"] for r in
+             search(spark, io, [(0, "data merge")], k=2000).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in
+               search(spark, io, [(0, "data^2 merge")], k=2000).collect()}
+    assert set(plain) == set(boosted)
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    docs = io.read("documents").filter("status = 'ok'")
+    with_data = {r["doc_id"] for r in docs.select("doc_id").filter(
+        F.array_contains(tokens_array(F.col("text")), "data")).collect()}
+    assert all(boosted[d] > plain[d] for d in plain if d in with_data)
+    assert all(abs(boosted[d] - plain[d]) < 1e-12
+               for d in plain if d not in with_data)
+
+
+def test_phrase_inside_boolean(spark, pages, tmp_path):
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index
+    io = TableIO(spark, str(tmp_path / "bool-pos"))
+    build_index(spark, pages, io, n_shards=2, n_buckets=8,
+                max_bytes=1 << 15, positions=True)
+    phrase_docs = _result_docs(spark, io, '"data spark"')
+    merge_docs = _result_docs(spark, io, "merge")
+    got = _result_docs(spark, io, '"data spark" OR merge')
+    assert got == phrase_docs | merge_docs
+    got = _result_docs(spark, io, 'merge AND NOT "data spark"')
+    assert got == merge_docs - phrase_docs
