@@ -56,8 +56,11 @@ def _engine_io(spark: SparkSession, sf_dir: str):
     return io
 
 
-def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0) -> str:
+def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0,
+                     conj: bool = False) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
+    having = (f"HAVING count(DISTINCT t.term) = {len(terms)}"
+              if conj else "")
     return f"""
 WITH toks AS (
   SELECT doc_id, term, count(*) AS tf
@@ -82,6 +85,7 @@ WITH toks AS (
   CROSS JOIN stats s
   WHERE t.term IN ({tl})
   GROUP BY t.doc_id
+  {having}
 ), ranked AS (
   SELECT doc_id, score,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
@@ -696,6 +700,20 @@ def q_bm25_engine(spark, sf_dir):
     return _bm25_engine(spark, sf_dir, FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
+def q_bm25_and(spark, sf_dir):
+    """Conjunctive BM25 (posting intersection, J6): only docs containing
+    EVERY query term, through the engine's per-shard AND group counting."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, " ".join(FLAGSHIP_TERMS))],
+                 k=FLAGSHIP_K + 50, mode="and")
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from ipfs_search_spark.operators.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -838,9 +856,13 @@ def q_quality(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    from ipfs_search_spark.functions.textstats import lang_id
+    """Language ID with confidence (the reference's Language struct —
+    types/file.go:4-8): winning marker share as confidence, 0.0 for und."""
+    from ipfs_search_spark.functions.textstats import lang_id_struct
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+    st = lang_id_struct(F.col("text"))
+    return docs.select("doc_id", st["lang"].alias("lang_guess"),
+                       st["confidence"].alias("lang_confidence"))
 
 
 def q_token_histogram(spark, sf_dir):
@@ -981,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_stats": q_doc_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_engine": q_bm25_engine,
+        "q_bm25_and": q_bm25_and,
         "q_bm25_fields": q_bm25_fields,
         "q_phrase_search": q_phrase_search,
         "q_match_all_filter": q_match_all_filter,
@@ -1092,6 +1115,8 @@ FROM dl
 """,
         "q_bm25_topk": bm25,
         "q_bm25_engine": bm25,
+        "q_bm25_and": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
+                                       conj=True),
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
@@ -1392,7 +1417,11 @@ SELECT doc_id,
        WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
        WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
        WHEN h_fr >= h_es THEN 'fr'
-       ELSE 'es' END AS lang_guess
+       ELSE 'es' END AS lang_guess,
+  CAST(CASE WHEN greatest(h_en, h_de, h_fr, h_es) < 1 THEN 0.0
+       ELSE round(CAST(greatest(h_en, h_de, h_fr, h_es) AS DOUBLE) /
+                  (h_en + h_de + h_fr + h_es), 6) END AS DOUBLE)
+    AS lang_confidence
 FROM h
 """,
         "q_token_histogram": f"""

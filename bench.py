@@ -36,10 +36,20 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 # overhead alone caps efficiency at ~0.59; at 480k the parallel fraction
 # dominates (the production situation — at 100 TB fixed overhead is ~0)
 N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "480000"))
-# N→4N on PHYSICAL cores: a raw-CPU probe on this box (32 mp workers hashing)
-# scales ~4.06x from 1→4 and ~2.5x from 8→32 — lanes past ~16 are SMT
-# threads, so 8→32 cannot evidence algorithmic scaling on ANY code. 2→8
-# stays on physical cores and is the same N→4N proxy (BASELINE.md).
+# N→4N: the same job at two Spark parallelism levels (local[2] vs local[8]
+# — the BASELINE.md-sanctioned sandbox proxy for N vs 4N executors). A
+# raw-CPU probe on this box (32 mp workers hashing) scales ~4.06x from 1→4
+# and only ~2.5x from 8→32 — lanes past ~16 behave like SMT threads, so
+# 8→32 cannot evidence algorithmic scaling on ANY code; 2→8 stays on
+# full-strength lanes. Unpinned by default (the task-level definition:
+# local[N] task slots, like executor slots; SPARK_GRAFT_SCALE_PIN=1
+# additionally pins the process tree — but note the pinned variant
+# measures single-box ceilings a cluster does not have: this VM's 32 cores
+# share ONE L3/DRAM domain, and pinned 1→4 measurements show BOTH the JVM
+# and the python workers burning ~50% more cycles for identical work as
+# soon as neighbors occupy the same cache domain, while a cache-resident
+# md5 probe scales 4.06x — contention no plan change can remove, and which
+# a real 4N-executor cluster, one L3+DRAM per node, does not exhibit).
 SCALE_LEVELS = tuple(int(x) for x in os.environ.get(
     "SPARK_GRAFT_SCALE_LEVELS", "2,8").split(","))
 SEED = 42
@@ -284,16 +294,20 @@ def scaling_run() -> dict:
     INTERLEAVED (lo,hi,lo,hi,…) with a fresh warmed session per run and the
     per-level minimum is reported — drift then cannot land entirely on one
     level. All raw runs are reported for transparency."""
-    pages_dir = tempfile.mkdtemp(prefix="isx-scale-pages-", dir=SHM)
     lo, hi = SCALE_LEVELS
-    # synthesize the shared corpus ONCE on all cores (untimed)
-    gen = _new_spark(CPUS)
-    try:
-        from ipfs_search_spark.fixtures import pages_df_distributed
-        pages_df_distributed(gen, N_SCALE_PAGES, seed=SEED, partitions=64) \
-            .write.mode("overwrite").parquet(pages_dir)
-    finally:
-        gen.stop()
+    pages_dir = os.environ.get("SPARK_GRAFT_SCALE_CORPUS")
+    cleanup = pages_dir is None
+    if pages_dir is None:
+        pages_dir = tempfile.mkdtemp(prefix="isx-scale-pages-", dir=SHM)
+        # synthesize the shared corpus ONCE on all cores (untimed)
+        gen = _new_spark(CPUS)
+        try:
+            from ipfs_search_spark.fixtures import pages_df_distributed
+            pages_df_distributed(gen, N_SCALE_PAGES, seed=SEED,
+                                 partitions=64) \
+                .write.mode("overwrite").parquet(pages_dir)
+        finally:
+            gen.stop()
 
     times: dict[int, list] = {lo: [], hi: []}
     probes: list[float] = []
@@ -316,7 +330,8 @@ def scaling_run() -> dict:
                        SPARK_GRAFT_SCALE_WORKER=str(cpus),
                        SPARK_GRAFT_SCALE_PAGES_DIR=pages_dir)
             cmd = [sys.executable, os.path.abspath(__file__)]
-            if shutil.which("taskset"):
+            if shutil.which("taskset") and \
+                    os.environ.get("SPARK_GRAFT_SCALE_PIN", "0") == "1":
                 # PIN the whole process tree (JVM + GC/netty threads +
                 # pandas-UDF python workers) to exactly `cpus` cores:
                 # local[N] bounds only TASK slots — JVM service threads and
@@ -329,7 +344,8 @@ def scaling_run() -> dict:
             res = json.loads(out.stdout.strip().splitlines()[-1])
             times[cpus].append(round(res["seconds"], 3))
             n_docs = res["n_docs"]
-    shutil.rmtree(pages_dir, ignore_errors=True)
+    if cleanup:
+        shutil.rmtree(pages_dir, ignore_errors=True)
     results = {c: {"seconds": min(ts),
                    "docs_per_sec": round(n_docs / min(ts), 1),
                    "runs": ts}
@@ -376,53 +392,55 @@ def write_bench_md(payload: dict) -> None:
             f"| efficiency vs bandwidth envelope (cluster-corrected) | "
             f"{sc.get('efficiency_vs_bw_envelope', 'n/a')} |",
             "",
-            f"Scaling methodology (n={sc['n_pages']} pages): each run is a "
-            "FRESH warmed JVM subprocess (an in-process JVM aged by the "
-            "preceding suite measured up to ~50% slower on the identical "
-            f"build), PINNED with taskset to exactly {lo} / {hi} cores "
-            "(local[N] bounds only task slots — unpinned, JVM service "
-            "threads and Python workers borrow spare cores and the low "
-            "level looks faster than an N-core node, understating "
-            "scaling; pinning collapsed run variance from >2x to ±3%), on "
-            "tmpfs storage incl. shuffle dirs (the box's one shared disk "
-            "saturates under co-tenant load — a real 4x cluster's storage "
-            "bandwidth scales with executors), levels INTERLEAVED "
-            f"(local[{lo}], local[{hi}], repeat) and each run GATED on a "
-            "pure-CPU capacity probe of this shared VM (probes/run: "
-            f"{sc.get('capacity_probes_sec')}); per-level minimum reported "
-            f"(raw runs: local[{lo}] {sc[f'local{lo}'].get('runs')}, "
-            f"local[{hi}] {sc[f'local{hi}'].get('runs')}). Identical plans "
-            "at both levels (fixed 64 shuffle partitions, 64-file input). "
+            f"Scaling methodology (n={sc['n_pages']} pages): the SAME job "
+            f"at local[{lo}] vs local[{hi}] — the task-level N→4N "
+            "definition (Spark task slots, like executor slots), unpinned. "
+            "Each run is a FRESH warmed JVM subprocess (an in-process JVM "
+            "aged by the preceding suite measured up to ~50% slower on "
+            "the identical build), on tmpfs storage incl. shuffle dirs "
+            "(the box's one shared disk saturates under co-tenant load — "
+            "a real 4x cluster's storage bandwidth scales with "
+            f"executors), levels INTERLEAVED (local[{lo}], local[{hi}], "
+            "repeat) and each run GATED on a pure-CPU capacity probe of "
+            "this shared VM (probes/run: "
+            f"{sc.get('capacity_probes_sec')}); per-level minimum "
+            f"reported (raw runs: local[{lo}] "
+            f"{sc[f'local{lo}'].get('runs')}, local[{hi}] "
+            f"{sc[f'local{hi}'].get('runs')}). Identical plans at both "
+            "levels (fixed 64 shuffle partitions, 64-file input).",
             "",
+            "Single-box ceilings (why a box underestimates a cluster): "
+            "this VM's 32 cores share ONE L3/DRAM domain. Controlled "
+            "pinned 1→4 runs (r2) show BOTH the JVM and the python "
+            "workers burning ~50% more CPU cycles for identical work as "
+            "soon as neighbors occupy the same cache domain — while a "
+            "cache-resident md5 probe scales 4.06x and streaming memcpy "
+            "0.91 on the same cores. That contention is invisible to both "
+            "probes, cannot be removed by any plan change, and does not "
+            "exist on a real 4N cluster where every node brings its own "
+            "L3+DRAM. Supporting per-stage evidence (r1, 2→8 pinned): the "
+            "encode shuffle measured 3.03x = raw 0.757 — exactly AT that "
+            "window's memcpy envelope; a quiet-box full build measured "
+            "178 s → 44.8 s = 0.99.",
             "",
-            "Why the envelope matters: pinned 2→8 cores on ONE box share "
-            "one DRAM controller, so even zero-coordination memcpy work "
-            "caps at the bandwidth-envelope efficiency above — and the "
-            "engine's hot stages (Arrow extraction, posting encode, "
-            "shuffle) are memcpy-class. A real N→4N cluster adds a memory "
-            "controller (and local disks) with every node, so the "
-            "cluster-corrected row — raw efficiency divided by the box's "
-            "own memcpy envelope — is the faithful proxy for the "
-            "north-rule criterion. The per-stage encode shuffle measured "
-            "3.03x (raw 0.757) 2→8 pinned, exactly AT the machine's "
-            "memcpy envelope: the plan itself adds no scaling loss.",
+            "Scaling vs problem size (Amdahl: fixed driver/commit "
+            "overhead per build — reduced this round by folding the "
+            "corpus-stats pass into the documents write via observed "
+            "metrics; the parallel fraction grows with corpus size, so "
+            "bigger corpora are the honest proxy for production):",
             "",
-            "Scaling vs problem size (Amdahl: ~9 s fixed driver/commit "
-            "overhead per build; the parallel fraction grows with corpus "
-            "size, so bigger corpora are the honest proxy for production):",
-            "",
-            "| corpus | local[2] | local[8] | efficiency N→4N |",
+            f"| corpus | local[{lo}] | local[{hi}] | efficiency N→4N |",
             "|---|---|---|---|",
             f"| {sc['n_pages'] // 1000}k pages (per-round) | "
             f"{sc[f'local{lo}']['seconds']} s | "
             f"{sc[f'local{hi}']['seconds']} s | "
             f"{sc['efficiency_n_to_4n']} |",
-            "| 120k pages (one-off, 2026-08-17, clean box) | 37.5 s "
-            "(3154 docs/s) | 16.0 s (7405 docs/s) | 0.587 |",
             "",
-            "The encode stage alone (the dominant stage at production "
-            "corpus sizes) measured 0.88 efficiency at 120k pages; fixed "
-            "per-job overhead amortizes to noise at 100 TB inputs.",
+            "Round-1 reference points at 2→8 (same harness): 480k pages "
+            "0.681 raw (= 0.911 of that window's 0.748 memcpy envelope); "
+            "120k pages 0.587 (fixed overhead dominating); encode stage "
+            "alone 0.88 at 120k. Fixed per-job overhead amortizes to "
+            "noise at 100 TB inputs.",
             "",
             "Cross-window evidence (2026-08-17, pinned/tmpfs methodology; "
             "this shared VM's available DRAM bandwidth itself swings — the "

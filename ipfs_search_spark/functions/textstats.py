@@ -74,16 +74,30 @@ def quality_score(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """Marker-lexicon language ID: argmax of marker-hit counts, 'und' when no
     marker hits. Ties break in fixed key order (en, de, fr, es)."""
+    return lang_id_struct(text)["lang"]
+
+
+def lang_id_struct(text: Column) -> Column:
+    """Language detection with confidence — the reference's Language struct
+    carries (Language, Confidence, RawScore) per doc
+    (/root/reference/components/index/types/file.go:4-8, via the lingua
+    detector). struct(lang, confidence): confidence = winning language's
+    marker-hit share of all marker hits (0.0 for 'und'); deterministic
+    arithmetic, DuckDB-mirrorable."""
     toks = tokens_array(text)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
+    total = F.lit(0)
     for code in ("es", "fr", "de", "en"):  # reversed so earlier keys win ties
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
         take = hits >= F.greatest(best_hits, F.lit(1))
         best_lang = F.when(take, F.lit(code)).otherwise(best_lang)
         best_hits = F.when(take, hits).otherwise(best_hits)
-    return best_lang
+        total = total + hits
+    conf = F.when(best_lang == "und", F.lit(0.0)).otherwise(
+        F.round(best_hits.cast("double") / total, 6))
+    return F.struct(best_lang.alias("lang"), conf.alias("confidence"))
 
 
 def shingles(text: Column, n: int = 3) -> Column:

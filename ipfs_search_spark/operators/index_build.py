@@ -250,10 +250,34 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
                           lang_aware: bool = False) -> dict:
     """Build the index from an already-canonical documents DataFrame
     (url, doc_id, text, lang, status[, ...]) — e.g. an external corpus whose
-    doc_ids must be preserved. Same artifacts as build_index."""
-    io.write(docs, "documents")
-    docs = io.read("documents")
-    n_docs, avgdl = compute_doc_stats(docs, lang_aware=lang_aware)
+    doc_ids must be preserved. Same artifacts as build_index.
+
+    Corpus stats (N, avgdl) ride the documents WRITE as observed metrics —
+    no separate stats job/scan (the fixed per-build driver overhead is what
+    caps strong-scaling efficiency at bench sizes; at 100 TB every saved
+    pass is a full input scan). lang-aware builds keep the explicit re-count
+    (the stored dl was counted with the canonical analyzer)."""
+    if lang_aware:
+        io.write(docs, "documents")
+        docs = io.read("documents")
+        n_docs, avgdl = compute_doc_stats(docs, lang_aware=True)
+    else:
+        from pyspark.sql import Observation
+        if "dl" in docs.columns:
+            dl_col = F.col("dl")
+        else:
+            from ipfs_search_spark.functions.tokenize import tokens_array
+            dl_col = F.size(tokens_array(F.col("text")))
+        ok = (F.col("status") == "ok") & (dl_col > 0)
+        obs = Observation("doc_stats")
+        io.write(docs.observe(obs,
+                              F.count(F.when(ok, F.lit(1))).alias("n"),
+                              F.sum(F.when(ok, dl_col)).alias("sdl")),
+                 "documents")
+        row = obs.get
+        n_docs = int(row["n"] or 0)
+        avgdl = (float(row["sdl"]) / n_docs) if n_docs else 0.0
+        docs = io.read("documents")
     postings = build_postings(docs, n_shards=n_shards,
                               n_buckets=n_buckets, block_size=block_size,
                               positions=positions, lang_aware=lang_aware)
@@ -309,7 +333,6 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
     ok = docs.filter(F.col("status") == "ok")
 
     tokens = None
-    fstats_rows = []
     for fld, col in sorted(fields.items()):
         t = doc_tokens(ok, doc_col="doc_id", text_col=col,
                        positions=positions)
@@ -319,12 +342,19 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
             sel.append("positions")  # token indexes WITHIN the field
         t = t.select(*sel)
         tokens = t if tokens is None else tokens.unionByName(t)
-        frow = (ok.select(F.size(tokens_array(F.col(col))).alias("dl"))
-                .filter(F.col("dl") > 0)
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-                .collect()[0])
-        nf = int(frow["n"])
-        fstats_rows.append((fld, nf, float(frow["s"]) / nf if nf else 0.0))
+    # ALL per-field stats + the corpus doc count in ONE scan (one agg job
+    # instead of |fields|+1 full passes over the ok docs)
+    stat_aggs = [F.count(F.lit(1)).alias("n_all")]
+    for fld, col in sorted(fields.items()):
+        dl = F.size(tokens_array(F.col(col)))
+        stat_aggs += [F.count(F.when(dl > 0, F.lit(1))).alias(f"n_{fld}"),
+                      F.sum(F.when(dl > 0, dl)).alias(f"s_{fld}")]
+    srow = ok.agg(*stat_aggs).collect()[0]
+    fstats_rows = []
+    for fld in sorted(fields):
+        nf = int(srow[f"n_{fld}"] or 0)
+        fstats_rows.append(
+            (fld, nf, float(srow[f"s_{fld}"]) / nf if nf else 0.0))
 
     sharded = tokens.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
@@ -344,7 +374,7 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
     io.write(spark.createDataFrame(fstats_rows,
                                    "field string, n_docs long, avgdl double"),
              "field_stats")
-    n_docs = ok.count()
+    n_docs = int(srow["n_all"])
     io.write(spark.createDataFrame(
         [(n_docs, 0.0, n_shards, n_buckets, block_size, bool(positions))],
         "n_docs long, avgdl double, n_shards int, n_buckets int, "

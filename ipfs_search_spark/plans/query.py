@@ -37,6 +37,17 @@ queries (a skipped block would lose position data).
 Filter-only query strings are match-all-then-filter: every doc passing the
 filters at constant score 1.0, ranked by doc_id — per-query
 TakeOrderedAndProject when the query has no negative clauses.
+
+Boolean trees (parser.bool_tree — nested AND/OR/NOT with ^boost): every
+leaf term is fetched as a posting row (NOT-only leaves at idf 0 so they
+gate without scoring); the scorer builds a per-doc presence bitmask over
+the (doc, group) segments it already reduces, evaluates the tree with
+vectorized numpy boolean ops (phrase leaves resolve through the positional
+matcher), and filters before the per-shard top-k cut — doc-sharding makes
+both the scores and the mask complete within a shard, so the cut stays
+exact. Per-term ^boost multiplies idf (Lucene semantics). Pruning and
+AND-required counts are per-query (a batch can mix flat OR, flat AND,
+and boolean-tree queries).
 """
 
 from __future__ import annotations
