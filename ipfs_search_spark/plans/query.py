@@ -30,9 +30,16 @@ with_positions_offsets` — /root/reference/docs/indices/files.json:93):
 quoted phrases are REQUIRED clauses; the scorer decodes each phrase term's
 per-posting positions and verifies adjacency with a vectorized
 (doc,pos)-key chain (_match_phrase) before the per-shard top-k cut —
-doc-sharding keeps the check shard-local and exact. `-"a b"` runs the same
-matcher in 'any' mode and anti-joins. Pruning is disabled within phrase
-queries (a skipped block would lose position data).
+doc-sharding keeps the check shard-local and exact. Pruning is disabled
+within POSITIVE-phrase queries (a skipped block would lose position data).
+
+Negation (`-term`, `-"a b"`) resolves IN-SHARD for scoring queries:
+doc-sharding co-locates a doc's negative-term postings with its positive
+ones, so 'negs'/'negps' rows ride the same pandas group, excluded docs
+leave before the per-shard cut, and block-max pruning stays ON with θ
+computed over surviving docs only — no external anti-join, no keep_all.
+Match-all (filter/negation-only) queries keep the external anti-join path
+(their candidates come from the documents scan, not the scorer).
 
 Filter-only query strings are match-all-then-filter: every doc passing the
 filters at constant score 1.0, ranked by doc_id — per-query
@@ -163,6 +170,22 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
 
         qid = int(pdf["query_id"].iloc[0])
         pdf = pdf.sort_values("term", kind="stable")
+        # In-scorer negation (doc-sharding co-locates a doc's negative-term
+        # postings with its positive ones): 'negs' rows exclude their docs,
+        # 'negps' rows exclude phrase matches — resolved HERE so the
+        # per-shard top-k cut stays sound and block-max pruning stays ON
+        # for negation queries (θ is computed over non-excluded docs only).
+        if "kind" in pdf.columns:
+            negs_pdf = pdf[pdf["kind"] == "negs"]
+            negps_pdf = pdf[pdf["kind"] == "negps"]
+            pdf = pdf[pdf["kind"] == "pos"]
+        else:
+            negs_pdf = negps_pdf = pdf.iloc[0:0]
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}
+                                ).astype({"query_id": "int32",
+                                          "doc_id": "int64",
+                                          "score": "float64"})
         n_rows = len(pdf)
         phrases: list = []
         if phrase_mode is not None and "phrase_json" in pdf.columns:
@@ -181,6 +204,45 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             phrase_terms |= {t for vars_ in bool_spec["phrases"].values()
                              for var in vars_ for t in var}
         pos_acc: dict = {t: [] for t in phrase_terms}
+
+        # excluded docs of this shard: NOT-term postings + NOT-phrase matches
+        excl = None
+        if len(negs_pdf) or len(negps_pdf):
+            excl_parts = []
+            for blocks in negs_pdf["blocks"]:
+                for blk in blocks:
+                    excl_parts.append(decode_block(blk)[0])
+            negp_groups: list = []
+            if len(negps_pdf):
+                nj = negps_pdf["phrase_json"].iloc[0]
+                if nj:
+                    negp_groups = _json.loads(nj)
+            if negp_groups:
+                np_terms = {t for g in negp_groups for var in g for t in var}
+                acc: dict = {t: [] for t in np_terms}
+                for term_n, blocks in zip(negps_pdf["term"],
+                                          negps_pdf["blocks"]):
+                    if term_n not in np_terms:
+                        continue
+                    for blk in blocks:
+                        ids_b, tfs_b, _ = decode_block(blk)
+                        acc[term_n].append(
+                            (ids_b, tfs_b,
+                             decode_block_positions(blk, tfs_b)))
+                pos_data_n = {}
+                for t, lst in acc.items():
+                    if lst:
+                        ids_c = np.concatenate([x[0] for x in lst])
+                        tfs_c = np.concatenate([x[1] for x in lst])
+                        pos_c = np.concatenate([x[2] for x in lst])
+                        pos_data_n[t] = (np.repeat(ids_c, tfs_c), pos_c)
+                for grp in negp_groups:
+                    mlist = [_match_phrase(pos_data_n, var) for var in grp]
+                    if mlist:
+                        excl_parts.append(
+                            np.unique(np.concatenate(mlist)))
+            if excl_parts:
+                excl = np.unique(np.concatenate(excl_parts))
         avgdls = pdf["avgdl"].to_numpy(dtype=np.float64)
         idfs = pdf["idf"].to_numpy(dtype=np.float64) * \
             pdf["boost"].to_numpy(dtype=np.float64)
@@ -217,6 +279,9 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                             tfnorm(tfs_b, dls_b, avgdls[best_i]))
             solo = (np.concatenate(ids_l) if ids_l else np.empty(0, np.int64),
                     np.concatenate(sc_l) if sc_l else np.empty(0))
+            if excl is not None and solo[0].size:
+                kp = ~np.isin(solo[0], excl)
+                solo = (solo[0][kp], solo[1][kp])
             if solo[1].size >= k:
                 theta = float(np.partition(solo[1], -k)[-k])
 
@@ -277,6 +342,20 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             np.concatenate(([True], seg_ids[1:] != seg_ids[:-1])))
         doc_ids = seg_ids[doc_start]
         doc_scores = np.add.reduceat(seg_scores, doc_start)
+        if excl is not None and doc_ids.size:
+            # negation resolved in-shard: excluded docs leave before the
+            # AND/phrase filters and the per-shard top-k cut (boolean trees
+            # never carry in-scorer negation — the mask handles NOT there)
+            keep_x = ~np.isin(doc_ids, excl)
+            doc_ids, doc_scores = doc_ids[keep_x], doc_scores[keep_x]
+            if not keep_x.all() and expected > 0:
+                # the (doc,group) segments feed the AND counts — filter them
+                # consistently with the surviving docs
+                seg_keep = ~np.isin(seg_ids, excl)
+                seg_ids = seg_ids[seg_keep]
+                doc_start = (np.flatnonzero(np.concatenate(
+                    ([True], seg_ids[1:] != seg_ids[:-1])))
+                    if seg_ids.size else np.empty(0, np.int64))
         if expected > 0:
             # AND: required count comes from the QUERY (n_groups column),
             # not from the rows present in this shard — a shard lacking one
@@ -579,22 +658,31 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                         av = avgdl if fld is None else fstats[fld][1]
                         qterm_rows.append((qid, ft, 0.0, "pos", 1.0, t, av,
                                            n_grp, phrase_json, bool_json))
+        # match-all queries resolve negation externally (their candidates
+        # come from the documents scan, not the scorer); scoring queries
+        # resolve it IN-SHARD ('negs'/'negps' rows ride the same pandas
+        # group — doc-sharding co-locates a doc's negative postings), which
+        # keeps per-shard top-k cuts and block pruning on
+        kn, knp = ("neg", "negp") if p.match_all else ("negs", "negps")
         for t in neg:
             for fld, ft in variants(t):
-                qterm_rows.append((qid, ft, 0.0, "neg", 1.0, t,
+                qterm_rows.append((qid, ft, 0.0, kn, 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
                                    0, "", ""))
         for ft in sorted({t for g in live_np for var in g for t in var}):
             # variants already carry posting-term keys (fielded or bare)
-            qterm_rows.append((qid, ft, 0.0, "negp", 1.0, ft, avgdl,
+            qterm_rows.append((qid, ft, 0.0, knp, 1.0, ft, avgdl,
                                0, negp_json, ""))
     if not qterm_rows and not matchall_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
     has_filters = any(p.filters for p in parsed.values())
-    has_neg = any(p.not_terms or p.not_phrases for p in parsed.values())
-    keep_all = has_filters or has_neg
+    # external anti-join only for match-all queries (scoring queries handle
+    # negation in-scorer and keep their top-k cuts)
+    has_ext_neg = any(p.match_all and (p.not_terms or p.not_phrases)
+                      for p in parsed.values())
+    keep_all = has_filters
 
     candidates = None
     probe = None
@@ -612,7 +700,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                             F.col("term").isin(live_terms)))
         probe = postings.join(F.broadcast(qterms), "term")
 
-        pos_probe = probe.filter(F.col("kind") == "pos")
+        pos_probe = probe.filter(
+            F.col("kind").isin(["pos", "negs", "negps"]))
         candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
             _make_scorer(k_page, mode, prune, keep_all, combine,
                          phrase_mode="all"), CANDIDATE_SCHEMA)
@@ -641,12 +730,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             sel = sel.orderBy("doc_id").limit(k_page)
         candidates = sel if candidates is None else candidates.unionByName(sel)
 
-    if has_neg and probe is not None:
-        neg_probe = probe.filter(F.col("kind") == "neg")
+    if has_ext_neg and probe is not None:
+        neg_probe = probe.filter(F.col("kind") == "neg") \
+            .withColumn("kind", F.lit("pos"))
         neg_docs = neg_probe.groupBy("query_id", "shard").applyInPandas(
             _make_scorer(k, "or", False, True, combine), CANDIDATE_SCHEMA
         ).select("query_id", "doc_id")
-        negp_probe = probe.filter(F.col("kind") == "negp")
+        negp_probe = probe.filter(F.col("kind") == "negp") \
+            .withColumn("kind", F.lit("pos"))
         negp_docs = negp_probe.groupBy("query_id", "shard").applyInPandas(
             _make_scorer(k, "or", False, True, combine, phrase_mode="any"),
             CANDIDATE_SCHEMA
