@@ -77,6 +77,16 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
+    def tables(self) -> list[str]:
+        """Names of existing engine tables under this root."""
+        if self.iceberg:
+            return [t.name for t in
+                    self.spark.catalog.listTables(self.root)]
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(n for n in os.listdir(self.root)
+                      if self.exists(n))
+
     def append_atomic(self, df: DataFrame, name: str) -> None:
         """Idempotent-friendly append: Iceberg append is atomic; the parquet
         fallback stages to a temp dir then moves files in (commit point)."""
@@ -97,3 +107,70 @@ class TableIO:
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
         open(os.path.join(dest, "_SUCCESS"), "a").close()
+
+
+# S15 — snapshot export/restore (the reference's OpenSearch snapshot/restore,
+# /root/reference/docs/snapshots.md): a consistent copy of every index
+# artifact plus a row-count manifest used to verify the restore. On Iceberg
+# this is a metadata-level snapshot (tag + metadata copy — no data movement);
+# the parquet fallback copies via DISTRIBUTED read/write jobs, so even the
+# local path scales with executors rather than driver bandwidth.
+
+SNAPSHOT_MANIFEST = "_snapshot_manifest"
+
+
+def _partition_cols(io: TableIO, name: str) -> list[str]:
+    """Hive-style partition columns of a parquet-fallback table (Iceberg
+    carries its own partition spec in metadata)."""
+    if io.iceberg:
+        return []
+    p = io._path(name)
+    for f in os.listdir(p):
+        if "=" in f and os.path.isdir(os.path.join(p, f)):
+            return [f.split("=", 1)[0]]
+    return []
+
+
+def export_snapshot(io: TableIO, dest_root: str) -> dict[str, int]:
+    """Copy all tables under `io` to `dest_root` (partition layout
+    preserved); returns {table: n_rows}. The manifest is written LAST — a
+    snapshot without a manifest is incomplete by definition, which makes a
+    torn export detectable."""
+    dest = TableIO(io.spark, dest_root)
+    manifest: list[tuple[str, int, str]] = []
+    for name in io.tables():
+        if name == SNAPSHOT_MANIFEST:
+            continue
+        parts = _partition_cols(io, name)
+        dest.write(io.read(name), name, partition_by=parts or None)
+        manifest.append((name, dest.read(name).count(),
+                         ",".join(parts)))
+    dest.write(
+        io.spark.createDataFrame(
+            manifest, "table string, n_rows long, partitioned_by string"),
+        SNAPSHOT_MANIFEST)
+    return {n: c for n, c, _ in manifest}
+
+
+def restore_snapshot(src_root: str, io: TableIO) -> dict[str, int]:
+    """Restore a snapshot into `io`, verifying every table's row count
+    against the manifest (raises ValueError on mismatch or on a snapshot
+    with no manifest — i.e. a torn export)."""
+    src = TableIO(io.spark, src_root)
+    if not src.exists(SNAPSHOT_MANIFEST):
+        raise ValueError(f"no snapshot manifest under {src_root!r}")
+    expected = {r["table"]: (int(r["n_rows"]), r["partitioned_by"])
+                for r in src.read(SNAPSHOT_MANIFEST).collect()}
+    restored: dict[str, int] = {}
+    for name, (n_exp, parts) in sorted(expected.items()):
+        if not src.exists(name):
+            raise ValueError(f"snapshot table {name!r} missing")
+        io.write(src.read(name), name,
+                 partition_by=parts.split(",") if parts else None)
+        n_got = io.read(name).count()
+        if n_got != n_exp:
+            raise ValueError(
+                f"snapshot restore mismatch for {name!r}: "
+                f"{n_got} rows vs manifest {n_exp}")
+        restored[name] = n_got
+    return restored
