@@ -262,6 +262,46 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         else:
             np.add.at(group_ub, row_group, term_max_ub)
 
+        # Position-lazy two-pass for flat positive-phrase queries: decode
+        # the PHRASE terms first (positions included), compute the
+        # phrase-satisfying doc set P, then skip any free term's block
+        # whose docid range contains no member of P — such docs can never
+        # reach the result, and every block holding a P-doc is decoded in
+        # full, so surviving scores are exact. At scale a rare phrase makes
+        # P tiny and the common free terms' posting lists go untouched.
+        phrase_P_u = None
+        matched_pre = None
+        decoded_rows: dict[int, list] = {}
+        if phrases and phrase_mode == "all":
+            for row_i in range(n_rows):
+                t_name = pdf["term"].iloc[row_i]
+                if t_name not in phrase_terms:
+                    continue
+                dec = []
+                for blk in pdf["blocks"].iloc[row_i]:
+                    ids_b, tfs_b, dls_b = decode_block(blk)
+                    dec.append((ids_b, tfs_b, dls_b))
+                    pos_acc[t_name].append(
+                        (ids_b, tfs_b, decode_block_positions(blk, tfs_b)))
+                decoded_rows[row_i] = dec
+            pos_data0: dict = {}
+            for t, lst in pos_acc.items():
+                if lst:
+                    ids_c = np.concatenate([x[0] for x in lst])
+                    tfs_c = np.concatenate([x[1] for x in lst])
+                    pos_c = np.concatenate([x[2] for x in lst])
+                    pos_data0[t] = (np.repeat(ids_c, tfs_c), pos_c)
+            matched_pre = [
+                (np.unique(np.concatenate(
+                    [_match_phrase(pos_data0, var) for var in grp]))
+                 if grp else np.empty(0, np.int64))
+                for grp in phrases
+            ]
+            P = matched_pre[0]
+            for m in matched_pre[1:]:
+                P = np.intersect1d(P, m, assume_unique=True)
+            phrase_P_u = np.sort(P.view(np.uint64))
+
         # per-query AND-required group count (0 = OR semantics); pruning is
         # per-query too — sound only for flat-OR, non-phrase, non-boolean
         expected = int(pdf["n_groups"].iloc[0])
@@ -294,6 +334,14 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 ids_parts.append(solo[0]); sc_parts.append(solo[1])
                 grp_parts.append(np.full(solo[0].size, g, dtype=np.int64))
                 continue
+            if row_i in decoded_rows:
+                # phrase term — decoded (with positions) in pass 1
+                for ids_b, tfs_b, dls_b in decoded_rows[row_i]:
+                    ids_parts.append(ids_b)
+                    sc_parts.append(t_idf *
+                                    tfnorm(tfs_b, dls_b, avgdls[row_i]))
+                    grp_parts.append(np.full(ids_b.size, g, dtype=np.int64))
+                continue
             # other groups can add at most their group bound; this row's own
             # group can add at most the group bound (covers max-combine where
             # siblings don't stack)
@@ -301,7 +349,23 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             # own-group headroom beyond this block: sibling field-rows only
             own_extra = float(group_ub[g] - term_max_ub[row_i]) \
                 if combine == "sum" else 0.0
-            for blk in blocks:
+            blocks = list(blocks)
+            for bi, blk in enumerate(blocks):
+                if phrase_P_u is not None:
+                    # block docids ascend in unsigned order across blocks;
+                    # skip if no phrase-matching doc falls in this block's
+                    # [first_doc, next_first) range
+                    lo = np.uint64(int(blk["first_doc_id"]) & ((1 << 64) - 1))
+                    j0 = int(np.searchsorted(phrase_P_u, lo))
+                    if bi + 1 < len(blocks):
+                        hi = np.uint64(
+                            int(blocks[bi + 1]["first_doc_id"])
+                            & ((1 << 64) - 1))
+                        j1 = int(np.searchsorted(phrase_P_u, hi))
+                    else:
+                        j1 = phrase_P_u.size
+                    if j0 == j1:
+                        continue
                 ub = t_idf * float(block_ub(blk["max_tf"], blk["min_dl"],
                                             avgdls[row_i]))
                 bound = (max(ub, float(group_ub[g])) if combine == "max"
@@ -374,7 +438,8 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     pos_data[t] = (np.repeat(ids_c, tfs_c), pos_c)
         if phrases:
             # a group matches a doc iff ANY of its variants matches
-            matched = [
+            # (precomputed in the two-pass path)
+            matched = matched_pre if matched_pre is not None else [
                 (np.unique(np.concatenate(
                     [_match_phrase(pos_data, var) for var in grp]))
                  if grp else np.empty(0, np.int64))
