@@ -137,6 +137,11 @@ def bench_queries(spark, io) -> dict[str, float]:
     t0 = time.monotonic()
     sx.search(QUERY_MIX, k=10).collect()
     lat["bm25_batch6"] = round(time.monotonic() - t0, 4)
+    # boolean surface (nested tree + ^boost + prohibited clause)
+    t0 = time.monotonic()
+    sx.search([(0, "(data^1.5 OR batch) AND merge -stream")],
+              k=10).collect()
+    lat["bm25_boolean"] = round(time.monotonic() - t0, 4)
     return lat
 
 
@@ -174,8 +179,8 @@ def bench_positional(spark, workdir: str) -> dict[str, float]:
 def bench_table_ops(spark) -> dict[str, float]:
     import __spark_entry__ as e
     ops = ["q_tpch_pricing", "q_latest_wins", "q_term_stats",
-           "q_lsh_neardup", "q_ann_cosine", "q_dedup_exact",
-           "q_topk_orders"]
+           "q_lsh_neardup", "q_simhash_neardup", "q_fingerprint_lookup",
+           "q_ann_cosine", "q_dedup_exact", "q_topk_orders"]
     out = {}
     qs = e.queries()
     for name in ops:
