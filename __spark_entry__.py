@@ -596,6 +596,29 @@ def q_crawl_reach(spark, sf_dir):
     return out.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_gateway_url(spark, sf_dir):
+    """Gateway fetch-URL construction (S7/C1/C2 — the reference's
+    resource_uri + named-path gateway preference, protocol/ipfs/
+    gatewayurl.go:13-33): every third resource gets a named parent ref, so
+    both branches and the path escaping exercise. The oracle mirrors the
+    escaping over the alnum+space charset (full Go-PathEscape parity is
+    pytest-covered — DuckDB has no url_encode)."""
+    from ipfs_search_spark.functions.urls import gateway_url, resource_uri
+    ev = _t(spark, sf_dir, "events")
+    rid = F.concat(F.lit("Qm"), F.col("event_id").cast("string"))
+    named = F.col("event_id") % 3 == 0
+    parent = F.when(named, F.concat(
+        F.lit("Qm"), (F.col("event_id") % 50).cast("string")))
+    name = F.when(named, F.concat(
+        F.lit("file "), (F.col("event_id") % 7).cast("string"),
+        F.lit(".txt")))
+    return ev.select(
+        "event_id",
+        resource_uri(F.lit("ipfs"), rid).alias("uri"),
+        gateway_url(F.lit("https://gw.example"), rid, parent, name)
+        .alias("fetch_url"))
+
+
 def q_latest_wins(spark, sf_dir):
     from ipfs_search_spark.operators.ingest import latest_wins
     ev = _t(spark, sf_dir, "events")
@@ -991,6 +1014,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_gateway_url": q_gateway_url,
         "q_latest_wins": q_latest_wins,
         "q_first_last_seen": q_first_last_seen,
         "q_anti_join_new": q_anti_join_new,
@@ -1034,6 +1058,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     bm25 = _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K)
     return {
+        "q_gateway_url": """
+SELECT event_id,
+       'ipfs://Qm' || event_id AS uri,
+       CASE WHEN event_id % 3 = 0
+            THEN 'https://gw.example/ipfs/Qm' || (event_id % 50) || '/' ||
+                 replace('file ' || (event_id % 7) || '.txt', ' ', '%20')
+            ELSE 'https://gw.example/ipfs/Qm' || event_id END AS fetch_url
+FROM events
+""",
         "q_latest_wins": """
 SELECT user_id, event_id, event_type, value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id
