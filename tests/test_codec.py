@@ -72,3 +72,48 @@ def test_merge_runs_interleaved():
     runs = [(ids[i::3], tfs[i::3], dls[i::3]) for i in range(3)]
     mi, mt, md = merge_sorted_runs(runs)
     assert (mi == ids).all() and (mt == tfs).all() and (md == dls).all()
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                         min_size=1, max_size=12),
+                min_size=1, max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_positions_roundtrip(per_posting):
+    """Positional payload (per-posting delta + varbyte, chain restart at
+    each posting boundary) round-trips for arbitrary ascending position
+    lists — the codec behind phrase queries."""
+    from ipfs_search_spark.functions.codec import (
+        decode_positions, encode_positions,
+    )
+    per_posting = [sorted(set(p)) for p in per_posting]
+    tfs = np.array([len(p) for p in per_posting], dtype=np.int64)
+    flat = np.array([x for p in per_posting for x in p], dtype=np.int64)
+    got = decode_positions(encode_positions(flat, tfs), tfs)
+    assert (got == flat).all()
+
+
+@given(st.integers(min_value=1, max_value=400),
+       st.sampled_from([4, 16, 128]))
+@settings(max_examples=60, deadline=None)
+def test_positional_block_roundtrip(n, block_size):
+    """encode_blocks/decode_block_positions round-trip with the positional
+    payload attached, across block-size boundaries."""
+    from ipfs_search_spark.functions.codec import decode_block_positions
+    rng = np.random.default_rng(n * 31 + block_size)
+    ids = np.unique(rng.integers(-2**63, 2**63 - 1, size=n, dtype=np.int64))
+    ids = ids[np.argsort(ids.view(np.uint64))]
+    tfs = rng.integers(1, 6, size=ids.size, dtype=np.int64)
+    dls = rng.integers(1, 500, size=ids.size, dtype=np.int64)
+    pos = np.concatenate([np.sort(rng.choice(10_000, size=t, replace=False))
+                          for t in tfs]).astype(np.int64)
+    blocks = encode_blocks(ids, tfs, dls, positions=pos,
+                           block_size=block_size)
+    ids_l, tfs_l, pos_l = [], [], []
+    for blk in blocks:
+        i, t, _ = decode_block(blk)
+        ids_l.append(i)
+        tfs_l.append(t)
+        pos_l.append(decode_block_positions(blk, t))
+    assert (np.concatenate(ids_l) == ids).all()
+    assert (np.concatenate(tfs_l) == tfs).all()
+    assert (np.concatenate(pos_l) == pos).all()
