@@ -324,10 +324,11 @@ _SHINGLE3_SQL = ("list_transform(range(1, greatest(len(a) - 2, 0) + 1), "
                  "i -> array_to_string(list_slice(a, i, i + 2), ' '))")
 
 
-def _simhash_oracle_sql(max_hamming: int) -> str:
+def _simhash_oracle_sql(max_hamming: int, max_bucket: int) -> str:
     """DuckDB mirror of operators/dedup.py::simhash_md5_dedup: identical
     md5-hex-digit bit definition, per-doc ±1 sums, 32-bit halves, 16-bit
-    banding and hamming verify — generated programmatically (64 bit sums)."""
+    banding (with the band-bucket cap, QUALIFY-mirrored) and hamming
+    verify — generated programmatically (64 bit sums)."""
     vsums = ",\n         ".join(
         f"sum((((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
         f" >> {j % 4}) & 1) * 2 - 1) AS v{j}"
@@ -360,11 +361,14 @@ tok AS (
                      WHEN 2 THEN sig_hi & 65535
                      ELSE (sig_hi >> 16) & 65535 END AS band_val
   FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+), kept AS (
+  SELECT id, sig_lo, sig_hi, band, band_val FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, band_val) <= {max_bucket}
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          a.sig_lo AS lo_a, a.sig_hi AS hi_a,
          b.sig_lo AS lo_b, b.sig_hi AS hi_b
-  FROM bands a JOIN bands b USING (band, band_val)
+  FROM kept a JOIN kept b USING (band, band_val)
   WHERE a.id < b.id
 )
 SELECT id_a, id_b,
@@ -632,11 +636,15 @@ def q_first_last_seen(spark, sf_dir):
 
 
 def q_anti_join_new(spark, sf_dir):
+    """J2/S13 new-item anti-join. The state store is a SUBSET of orders
+    (every 3rd orderkey) so survivors exist at driver scale — an all-green
+    0-row anti-join proves nothing (r2 verdict)."""
     from ipfs_search_spark.operators.ingest import anti_join_new
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"))
-    return anti_join_new(cust, orders, "c_custkey").select(
+    known = (_t(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 3 == 0)
+             .select(F.col("o_custkey").alias("c_custkey")))
+    return anti_join_new(cust, known, "c_custkey").select(
         "c_custkey", "c_name")
 
 
@@ -761,18 +769,26 @@ def q_minhash_fingerprint(spark, sf_dir):
 
 
 LSH_MAX_BUCKET = 100  # band-bucket cap (skew guard) — mirrored in the oracle
+SIMHASH_MAX_BUCKET = 100  # simhash band cap — QUALIFY-mirrored in the oracle
 
 
 def q_fingerprint_lookup(spark, sf_dir):
     """Query-time fingerprint near-dup lookup ("more like this") — the
     reference's fingerprint default_field: docs sharing minhash bands with
-    the query text (here: doc 7's text), ranked by shared-band count."""
+    the query text, ranked by shared-band count. Probes doc 10's text over
+    the PLANTED-near-dup base (_neardup_base holds a truncated copy of every
+    10th doc as id+1000000), so the probe provably surfaces its near-dup —
+    and because the Spark side recomputes the query's band keys DRIVER-SIDE
+    (dedup.query_band_keys, pure hashlib) while the oracle takes doc 10's
+    band rows from the corpus table, a green hash also proves the
+    driver/executor hash-chain parity the r2 verdict flagged as untested."""
     from ipfs_search_spark.operators.dedup import minhash_bands, more_like_this
-    docs = _t(spark, sf_dir, "documents")
-    qtext = docs.filter(F.col("doc_id") == 7).select("text").collect()[0][0]
-    bands = minhash_bands(docs, "doc_id", "text")
-    out = more_like_this(bands, "doc_id", qtext)
-    return out.filter(F.col("doc_id") != 7).select("doc_id", "n_shared_bands")
+    base = _neardup_base(spark, sf_dir)
+    qtext = base.filter(F.col("id") == 10).select("text").collect()[0][0]
+    bands = minhash_bands(base, "id", "text")
+    out = more_like_this(bands, "id", qtext)
+    return out.filter(F.col("id") != 10).select(
+        F.col("id").alias("doc_id"), "n_shared_bands")
 
 
 def q_lsh_neardup(spark, sf_dir):
@@ -787,12 +803,14 @@ def q_lsh_neardup(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs (md5-hash variant — the signature, banding and
-    hamming verify are mirrored bit-for-bit by the DuckDB oracle; the
-    Arrow/FNV variant simhash_dedup stays recall-tested in pytest)."""
+    """SimHash near-dup pairs (md5-hash variant — the signature, banding,
+    band-bucket cap and hamming verify are mirrored bit-for-bit by the
+    DuckDB oracle; the Arrow/FNV variant simhash_dedup stays recall-tested
+    in pytest)."""
     from ipfs_search_spark.operators.dedup import simhash_md5_dedup
     base = _neardup_base(spark, sf_dir)
-    return simhash_md5_dedup(base, "id", "text", max_hamming=8)
+    return simhash_md5_dedup(base, "id", "text", max_hamming=8,
+                             max_bucket=SIMHASH_MAX_BUCKET)
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -1082,7 +1100,9 @@ FROM events GROUP BY user_id
 """,
         "q_anti_join_new": """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderkey % 3 = 0)
 """,
         "q_multiget_probe": """
 SELECT u.user_id,
@@ -1283,30 +1303,33 @@ SELECT a.doc_id,
 FROM arr a JOIN sh3 ON a.doc_id = sh3.doc_id JOIN sh5 ON a.doc_id = sh5.doc_id
 """,
         "q_fingerprint_lookup": f"""
-WITH arr AS (
-  SELECT doc_id, {_TOK} AS a FROM documents
+WITH base AS ({_NEARDUP_BASE_SQL}),
+arr AS (
+  SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS a
+  FROM base
 ), sh AS (
-  SELECT doc_id, {_SHINGLE3_SQL} AS s FROM arr WHERE len(a) >= 3
+  SELECT id, {_SHINGLE3_SQL} AS s FROM arr
 ), sig AS (
-  SELECT doc_id,
+  SELECT id,
          [{", ".join(
              f"list_aggregate(list_transform(s, "
              f"x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8)), "
              f"'min')" for i in range(8))}] AS sg
   FROM sh
 ), bands AS (
-  SELECT doc_id, unnest([md5('0|' || sg[1] || '|' || sg[2]),
-                         md5('1|' || sg[3] || '|' || sg[4]),
-                         md5('2|' || sg[5] || '|' || sg[6]),
-                         md5('3|' || sg[7] || '|' || sg[8])]) AS band_key
+  SELECT id, unnest([md5('0|' || sg[1] || '|' || sg[2]),
+                     md5('1|' || sg[3] || '|' || sg[4]),
+                     md5('2|' || sg[5] || '|' || sg[6]),
+                     md5('3|' || sg[7] || '|' || sg[8])]) AS band_key
   FROM sig
 ), q AS (
-  SELECT band_key FROM bands WHERE doc_id = 7
+  SELECT band_key FROM bands WHERE id = 10
 )
-SELECT b.doc_id, count(*) AS n_shared_bands
+SELECT b.id AS doc_id, count(*) AS n_shared_bands
 FROM bands b JOIN q USING (band_key)
-WHERE b.doc_id != 7
-GROUP BY b.doc_id
+WHERE b.id != 10
+GROUP BY b.id
 """,
         "q_lsh_neardup": f"""
 WITH base AS ({_NEARDUP_BASE_SQL}),
@@ -1347,7 +1370,7 @@ FROM pairs p JOIN dsh x ON p.id_a = x.id JOIN dsh y ON p.id_b = y.id
 WHERE CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE) /
       len(list_distinct(list_concat(x.ds, y.ds))) >= 0.5
 """,
-        "q_simhash_neardup": _simhash_oracle_sql(8),
+        "q_simhash_neardup": _simhash_oracle_sql(8, SIMHASH_MAX_BUCKET),
         "q_ann_ivf": _IVF_ORACLE_SQL,
         "q_ann_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

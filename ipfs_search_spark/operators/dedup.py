@@ -69,10 +69,21 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text",
             .withColumn("is_keeper", F.col(key) == F.col("keeper_id")))
 
 
+def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
+                       n_hashes: int = 8, bands: int = 4,
+                       shingle_n: int = 3) -> DataFrame:
+    """Public form of the signature pass — compute ONCE and pass the result
+    to both minhash_lsh_pairs and lsh_dropped_buckets via `signatures=` so a
+    pipeline running pairs+audit (the recommended shape) pays the expensive
+    shingle-explode+hash scan a single time."""
+    return _minhash_signatures(df, key, text_col, n_hashes, shingle_n)
+
+
 def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
                       n_hashes: int = 8, bands: int = 4,
                       shingle_n: int = 3,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      signatures: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     signature(n_hashes) split into `bands` bands of n_hashes/bands rows each;
@@ -99,7 +110,8 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
     # expression once per signature slot under Catalyst projection collapse —
     # O(n_hashes×bands) recomputation; the explode+groupBy shape computes
     # each shingle hash exactly once and scales to any corpus.)
-    sig = _minhash_signatures(df, key, text_col, n_hashes, shingle_n)
+    sig = (signatures if signatures is not None
+           else _minhash_signatures(df, key, text_col, n_hashes, shingle_n))
     exploded = sig.select(
         "_id",
         F.explode(F.array(*_band_key_cols(n_hashes, bands))).alias("band_key"))
@@ -122,11 +134,15 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str = "text",
 def lsh_dropped_buckets(df: DataFrame, key: str, text_col: str = "text",
                         n_hashes: int = 8, bands: int = 4,
                         shingle_n: int = 3,
-                        max_bucket: int = 10_000) -> DataFrame:
+                        max_bucket: int = 10_000,
+                        signatures: DataFrame | None = None) -> DataFrame:
     """Audit view of what minhash_lsh_pairs' max_bucket guard drops:
     (band_key, n_docs) for every oversized bucket — no silent truncation;
-    pipelines log/export this alongside the pair output."""
-    sig = _minhash_signatures(df, key, text_col, n_hashes, shingle_n)
+    pipelines log/export this alongside the pair output. Pass the
+    minhash_signatures() result as `signatures` to share the shingle-explode
+    pass with the pairs job instead of recomputing it."""
+    sig = (signatures if signatures is not None
+           else _minhash_signatures(df, key, text_col, n_hashes, shingle_n))
     return (sig.select(
         "_id",
         F.explode(F.array(*_band_key_cols(n_hashes, bands))).alias("band_key"))
@@ -247,8 +263,39 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _cap_simhash_buckets(bands: DataFrame,
+                         max_bucket: int | None) -> DataFrame:
+    """Drop (band, band_val) buckets holding more than max_bucket docs
+    BEFORE the self-join — the same boilerplate-mega-cluster guard as
+    minhash_lsh_pairs' max_bucket (a 16-bit band bucket full of
+    near-identical pages is an m²/2 quadratic in one task otherwise). The
+    count agg is map-side combinable on the join's own shuffle key. Docs in
+    a dropped bucket can still pair through their other 3 bands; identical
+    pages belong to the exact-dedup pre-pass."""
+    if max_bucket is None:
+        return bands
+    keep = (bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "band_val"))
+    return bands.join(keep, ["band", "band_val"], "left_semi")
+
+
+def simhash_dropped_buckets(bands: DataFrame,
+                            max_bucket: int) -> DataFrame:
+    """Audit view for the simhash band cap: (band, band_val, n_docs) for
+    every bucket the cap drops — no silent truncation. Takes the bands
+    DataFrame from simhash_md5_bands / the FNV variant so the signature
+    pass is computed once and shared with the pair job."""
+    return (bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket))
+
+
 def simhash_md5_dedup(df: DataFrame, key: str, text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      max_bucket: int | None = None,
+                      bands_df: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs whose 64-bit token hash is the first 16 hex
     digits of md5(token) — chosen so an ANSI-SQL engine can mirror the
     signature bit-for-bit (the driver's DuckDB oracle). Fully JVM-side:
@@ -261,7 +308,37 @@ def simhash_md5_dedup(df: DataFrame, key: str, text_col: str = "text",
     (j//4) of md5(token)[:16]; per doc v_j = Σ_occurrences (2·bit_j − 1),
     signature bit j = (v_j > 0). Stored as two 32-bit halves (sig_lo bits
     0..31, sig_hi bits 32..63) so no signed-64 overflow handling is needed
-    on either engine; hamming = popcount(xor) summed over halves."""
+    on either engine; hamming = popcount(xor) summed over halves.
+
+    max_bucket drops oversized (band, band_val) buckets before the
+    self-join (see _cap_simhash_buckets); pass the simhash_md5_bands()
+    result as `bands_df` to share the signature pass with
+    simhash_dropped_buckets."""
+    bands = (bands_df if bands_df is not None
+             else simhash_md5_bands(df, key, text_col))
+    bands = _cap_simhash_buckets(bands, max_bucket)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_val"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.sig_lo").alias("lo_a"),
+                    F.col("a.sig_hi").alias("hi_a"),
+                    F.col("b.sig_lo").alias("lo_b"),
+                    F.col("b.sig_hi").alias("hi_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) +
+               F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def simhash_md5_bands(df: DataFrame, key: str,
+                      text_col: str = "text") -> DataFrame:
+    """(_id, sig_lo, sig_hi, band, band_val) 16-bit band table for the
+    md5-variant simhash — the shared input of simhash_md5_dedup and
+    simhash_dropped_buckets."""
     from ipfs_search_spark.functions.tokenize import tokens_array
     toks = df.select(F.col(key).alias("_id"),
                      F.explode(tokens_array(F.col(text_col))).alias("_t"))
@@ -295,32 +372,19 @@ def simhash_md5_dedup(df: DataFrame, key: str, text_col: str = "text",
                  F.shiftright("sig_hi", 16).bitwiseAND(F.lit(0xFFFF))
                  .alias("band_val")),
     ]
-    bands = sig.select("_id", "sig_lo", "sig_hi",
-                       F.explode(F.array(*band_cols)).alias("bk")) \
-               .select("_id", "sig_lo", "sig_hi", "bk.band", "bk.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, ["band", "band_val"])
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"),
-                    F.col("a.sig_lo").alias("lo_a"),
-                    F.col("a.sig_hi").alias("hi_a"),
-                    F.col("b.sig_lo").alias("lo_b"),
-                    F.col("b.sig_hi").alias("hi_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    hamming = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) +
-               F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
-    return (cand.withColumn("hamming", hamming.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    return sig.select("_id", "sig_lo", "sig_hi",
+                      F.explode(F.array(*band_cols)).alias("bk")) \
+              .select("_id", "sig_lo", "sig_hi", "bk.band", "bk.band_val")
 
 
 def simhash_dedup(df: DataFrame, key: str, text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
     """SimHash near-dup candidate pairs: 64-bit simhash split into 4 16-bit
     bands; pairs sharing a band are verified by exact hamming distance
     (pigeonhole: any pair with distance ≤3 shares ≥1 of 4 bands). All JVM
-    bit-ops after the Arrow-batched simhash."""
+    bit-ops after the Arrow-batched simhash. max_bucket caps band buckets
+    (see _cap_simhash_buckets)."""
     from ipfs_search_spark.functions.tokenize import tokens_array
     sh = df.select(F.col(key).alias("_id"),
                    _simhash64(tokens_array(F.col(text_col))).alias("simhash"))
@@ -333,6 +397,7 @@ def simhash_dedup(df: DataFrame, key: str, text_col: str = "text",
             for i in range(4)
         ])).alias("bk"),
     ).select("_id", "simhash", "bk.band", "bk.band_val")
+    bands = _cap_simhash_buckets(bands, max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, ["band", "band_val"])
             .filter(F.col("a._id") < F.col("b._id"))

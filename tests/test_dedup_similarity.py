@@ -94,6 +94,65 @@ def test_simhash_md5_neardup(spark, corpus):
     assert found_near >= 8
 
 
+def test_simhash_bucket_cap_bounds_megacluster(spark):
+    """A planted cluster of identical pages must not yield m²/2 simhash
+    candidate pairs: max_bucket drops the oversized (band, band_val)
+    buckets (all 4 for identical signatures), pairs outside the cluster
+    survive, and the audit view reports what was dropped."""
+    from ipfs_search_spark.operators.dedup import (
+        simhash_dropped_buckets, simhash_md5_bands, simhash_md5_dedup,
+    )
+    rows = [(i, "boiler plate page body text repeated " * 4)
+            for i in range(2000)]
+    rows += [(100000, "unique alpha beta gamma delta words " * 4),
+             (100001, "unique alpha beta gamma delta words " * 4)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    bands = simhash_md5_bands(df, "id", "text")
+    pairs = simhash_md5_dedup(df, "id", "text", max_hamming=3,
+                              max_bucket=100, bands_df=bands)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100000, 100001) in got
+    assert all(a >= 100000 for a, _ in got)  # cluster pairs all dropped
+    dropped = simhash_dropped_buckets(bands, max_bucket=100).collect()
+    assert dropped and all(r["n_docs"] >= 2000 for r in dropped)
+    # the FNV/Arrow variant honors the same cap
+    from ipfs_search_spark.operators.dedup import simhash_dedup
+    got_fnv = {(r["id_a"], r["id_b"])
+               for r in simhash_dedup(df, "id", "text", max_hamming=3,
+                                      max_bucket=100).collect()}
+    assert (100000, 100001) in got_fnv
+    assert all(a >= 100000 for a, _ in got_fnv)
+
+
+def test_fingerprint_lookup_trio(spark, corpus):
+    """The more-like-this surface end to end: query_band_keys (the
+    driver-side hashlib mirror) must reproduce the Spark-side band keys of
+    a doc's own text, and the band-probe must surface planted duplicates."""
+    from collections import defaultdict
+
+    from ipfs_search_spark.operators.dedup import (
+        minhash_bands, more_like_this, query_band_keys,
+    )
+    texts = {r["id"]: r["text"] for r in corpus.collect()}
+    bands = minhash_bands(corpus, "id", "text")
+    by_id = defaultdict(set)
+    for r in bands.collect():
+        by_id[r["id"]].add(r["band_key"])
+    # driver/executor hash-chain parity on a doc's own text (the component
+    # the r2 verdict flagged: query_band_keys reimplements the md5 chain)
+    for probe in (0, 3, 17):
+        assert set(query_band_keys(texts[probe])) == by_id[probe]
+    # self-lookup through the real operator: the doc itself and its exact
+    # dup share all 4 bands
+    out = {r["id"]: r["n_shared_bands"]
+           for r in more_like_this(bands, "id", texts[2]).collect()}
+    assert out.get(2) == 4 and out.get(2002) == 4
+    # near-dups (one word changed) collide on >=1 band for most of the 10
+    found = sum(bool(by_id[1000 + i] & set(query_band_keys(texts[i])))
+                for i in range(10))
+    assert found >= 8
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math
