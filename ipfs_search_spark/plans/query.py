@@ -169,6 +169,15 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         )
 
         qid = int(pdf["query_id"].iloc[0])
+        # keep_all is PER-QUERY (the qterms keep_all column): only queries
+        # WITH filters skip the per-shard top-k cut (their filter applies
+        # after scoring, so a pre-filter cut could drop surviving docs).
+        # One filtered query in a batch must not disable the cut for the
+        # others — that ships every unfiltered query's full candidate doc
+        # set through the rank window (r2 verdict). The factory arg stays
+        # as a global override for the match-all negation probes.
+        keep_all_q = keep_all or bool(
+            "keep_all" in pdf.columns and pdf["keep_all"].iloc[0])
         pdf = pdf.sort_values("term", kind="stable")
         # In-scorer negation (doc-sharding co-locates a doc's negative-term
         # postings with its positive ones): 'negs' rows exclude their docs,
@@ -308,7 +317,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         theta = 0.0
         solo = None
         best_i = None
-        if prune and n_rows > 1 and not keep_all and expected == 0 \
+        if prune and n_rows > 1 and not keep_all_q and expected == 0 \
                 and not phrases and bool_spec is None:
             best_i = int(np.argmax(term_max_ub))
             ids_l, sc_l = [], []
@@ -493,7 +502,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
 
             bmask = _ev(bool_spec["tree"])
             doc_ids, doc_scores = doc_ids[bmask], doc_scores[bmask]
-        if not keep_all and doc_ids.size > k:
+        if not keep_all_q and doc_ids.size > k:
             # exact top-k by (score DESC, doc_id ASC) — the same tie-break
             # as the global rank window and the oracle; a plain argpartition
             # on score breaks exact-score ties arbitrarily and can drop the
@@ -676,6 +685,10 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
     qterm_rows = []
     for qid, p in parsed.items():
+        # per-query keep_all flag: this query's filters apply post-scoring,
+        # so ITS per-shard cut must stay off — without punishing the other
+        # queries in the batch
+        ka = 1 if p.filters else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
         # AND semantics: a term absent from the whole index matches nothing,
@@ -714,7 +727,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                                             float(fields[fld]), af)
                     boost *= float(p.boosts.get(t, 1.0))  # ^boost on idf
                     qterm_rows.append((qid, ft, t_idf, "pos", boost, t, av,
-                                       n_grp, phrase_json, bool_json))
+                                       n_grp, phrase_json, bool_json, ka))
             if p.bool_tree is not None:
                 # NOT-context-only leaves: fetched for presence bits, idf 0
                 # so they never contribute score
@@ -722,7 +735,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                     for fld, ft in variants(t):
                         av = avgdl if fld is None else fstats[fld][1]
                         qterm_rows.append((qid, ft, 0.0, "pos", 1.0, t, av,
-                                           n_grp, phrase_json, bool_json))
+                                           n_grp, phrase_json, bool_json,
+                                           ka))
         # match-all queries resolve negation externally (their candidates
         # come from the documents scan, not the scorer); scoring queries
         # resolve it IN-SHARD ('negs'/'negps' rows ride the same pandas
@@ -733,11 +747,11 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             for fld, ft in variants(t):
                 qterm_rows.append((qid, ft, 0.0, kn, 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
-                                   0, "", ""))
+                                   0, "", "", ka))
         for ft in sorted({t for g in live_np for var in g for t in var}):
             # variants already carry posting-term keys (fielded or bare)
             qterm_rows.append((qid, ft, 0.0, knp, 1.0, ft, avgdl,
-                               0, negp_json, ""))
+                               0, negp_json, "", ka))
     if not qterm_rows and not matchall_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
@@ -747,7 +761,6 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     # negation in-scorer and keep their top-k cuts)
     has_ext_neg = any(p.match_all and (p.not_terms or p.not_phrases)
                       for p in parsed.values())
-    keep_all = has_filters
 
     candidates = None
     probe = None
@@ -759,7 +772,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             qterm_rows,
             "query_id int, term string, idf double, kind string, "
             "boost double, group string, avgdl double, n_groups int, "
-            "phrase_json string, bool_json string")
+            "phrase_json string, bool_json string, keep_all int")
         postings = (sx.postings
                     .filter(F.col("bucket").isin(buckets) &
                             F.col("term").isin(live_terms)))
@@ -767,16 +780,37 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
         pos_probe = probe.filter(
             F.col("kind").isin(["pos", "negs", "negps"]))
+        # keep_all=False: the qterms keep_all column carries the PER-QUERY
+        # flag, so only filter-bearing queries skip their per-shard cut
         candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
-            _make_scorer(k_page, mode, prune, keep_all, combine,
+            _make_scorer(k_page, mode, prune, False, combine,
                          phrase_mode="all"), CANDIDATE_SCHEMA)
+
+    # match-all negation probes (the excluded doc sets) are built up front
+    # so the per-query loop below can anti-join BEFORE its top-k cut
+    neg_union = None
+    if has_ext_neg and probe is not None:
+        neg_probe = probe.filter(F.col("kind") == "neg") \
+            .withColumn("kind", F.lit("pos"))
+        neg_docs = neg_probe.groupBy("query_id", "shard").applyInPandas(
+            _make_scorer(k, "or", False, True, combine), CANDIDATE_SCHEMA
+        ).select("query_id", "doc_id")
+        negp_probe = probe.filter(F.col("kind") == "negp") \
+            .withColumn("kind", F.lit("pos"))
+        negp_docs = negp_probe.groupBy("query_id", "shard").applyInPandas(
+            _make_scorer(k, "or", False, True, combine, phrase_mode="any"),
+            CANDIDATE_SCHEMA
+        ).select("query_id", "doc_id")
+        neg_union = neg_docs.unionByName(negp_docs)
 
     docs = sx.documents
     # match-all-then-filter queries (filter/negation-only query strings):
     # every doc passing the filters, constant score 1.0, ranked by doc_id —
-    # the scan is pruned by the filter predicate; when the query has no
-    # negative clauses the per-query top-k is a TakeOrderedAndProject, so
-    # only k rows ever leave the scan stage.
+    # the scan is pruned by the filter predicate. The per-query
+    # orderBy.limit (a TakeOrderedAndProject) applies to EVERY match-all
+    # query: negation queries anti-join their excluded doc set first, so
+    # "lang:de -spam" never ships its full filtered doc set into one rank
+    # window partition (that union was O(N) rows through one reducer).
     for qid in matchall_qids:
         p = parsed[qid]
         # match-all ranges over the INDEXED set (status ok), like a search
@@ -791,39 +825,33 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         sel = d.select(F.lit(qid).cast("int").alias("query_id"),
                        F.col("doc_id").cast("long").alias("doc_id"),
                        F.lit(1.0).alias("score"))
-        if not (p.not_terms or p.not_phrases):
-            sel = sel.orderBy("doc_id").limit(k_page)
+        if (p.not_terms or p.not_phrases) and neg_union is not None:
+            sel = sel.join(neg_union.filter(F.col("query_id") == qid),
+                           ["query_id", "doc_id"], "left_anti")
+        sel = sel.orderBy("doc_id").limit(k_page)
         candidates = sel if candidates is None else candidates.unionByName(sel)
 
-    if has_ext_neg and probe is not None:
-        neg_probe = probe.filter(F.col("kind") == "neg") \
-            .withColumn("kind", F.lit("pos"))
-        neg_docs = neg_probe.groupBy("query_id", "shard").applyInPandas(
-            _make_scorer(k, "or", False, True, combine), CANDIDATE_SCHEMA
-        ).select("query_id", "doc_id")
-        negp_probe = probe.filter(F.col("kind") == "negp") \
-            .withColumn("kind", F.lit("pos"))
-        negp_docs = negp_probe.groupBy("query_id", "shard").applyInPandas(
-            _make_scorer(k, "or", False, True, combine, phrase_mode="any"),
-            CANDIDATE_SCHEMA
-        ).select("query_id", "doc_id")
-        candidates = candidates.join(neg_docs.unionByName(negp_docs),
-                                     ["query_id", "doc_id"], "left_anti")
-
     if has_filters:
+        # the allowed-doc semi-join restricts only the queries that HAVE
+        # filters; unfiltered queries bypass it entirely (no all-docs
+        # allowed branch scanning the documents table per unfiltered query)
+        flt_qids = [qid for qid, p in parsed.items() if p.filters]
         flt_df = None
-        for qid, p in parsed.items():
-            pred = _filters_pred(p, docs.columns)
+        for qid in flt_qids:
+            pred = _filters_pred(parsed[qid], docs.columns)
             if pred is None:  # impossible filters → no doc allowed
                 allowed = docs.filter(F.lit(False)).select(
                     F.lit(qid).alias("query_id"), "doc_id")
-            elif pred == "true":
-                allowed = docs.select(F.lit(qid).alias("query_id"), "doc_id")
             else:
                 allowed = docs.filter(F.expr(pred)).select(
                     F.lit(qid).alias("query_id"), "doc_id")
             flt_df = allowed if flt_df is None else flt_df.unionByName(allowed)
-        candidates = candidates.join(flt_df, ["query_id", "doc_id"], "left_semi")
+        if flt_df is not None:
+            cand_f = (candidates.filter(F.col("query_id").isin(flt_qids))
+                      .join(flt_df, ["query_id", "doc_id"], "left_semi"))
+            candidates = (candidates
+                          .filter(~F.col("query_id").isin(flt_qids))
+                          .unionByName(cand_f))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     topk = (candidates.withColumn("rank", F.row_number().over(w))

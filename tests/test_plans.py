@@ -71,6 +71,65 @@ def test_brute_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(top)
 
 
+def test_per_shard_cut_is_per_query(spark):
+    """keep_all is per-query: an unfiltered query's (query, shard) scorer
+    group emits at most k rows even when ANOTHER query in the batch carries
+    filters — only the filtered query ships its full candidate doc set
+    (its filter applies post-scoring)."""
+    import numpy as np
+    import pandas as pd
+
+    from ipfs_search_spark.functions.codec import encode_blocks
+    from ipfs_search_spark.plans.query import _make_scorer
+
+    ids = np.arange(100, dtype=np.int64)
+    blocks = encode_blocks(ids, np.full(100, 2, np.int64),
+                           np.full(100, 50, np.int64), block_size=128)
+    base = {"query_id": [0], "term": ["t"], "idf": [1.0], "kind": ["pos"],
+            "boost": [1.0], "group": ["t"], "avgdl": [50.0], "n_groups": [0],
+            "phrase_json": [""], "bool_json": [""], "blocks": [blocks],
+            "shard": [0]}
+    scorer = _make_scorer(10, "or", True, False, "sum", phrase_mode="all")
+    out_unfiltered = scorer(pd.DataFrame({**base, "keep_all": [0]}))
+    assert len(out_unfiltered) == 10  # cut applied for this query
+    out_filtered = scorer(pd.DataFrame({**base, "keep_all": [1]}))
+    assert len(out_filtered) == 100  # filtered query keeps all candidates
+
+
+def test_mixed_batch_same_results_as_solo(spark, built_index):
+    """A filtered query riding in the batch must not change an unfiltered
+    query's results (the per-query keep_all path is exact)."""
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    alone = [tuple(r) for r in
+             search(spark, io, [(0, "data spark")], k=5).collect()]
+    mixed = [tuple(r) for r in
+             search(spark, io, [(0, "data spark"), (1, "data lang:en")],
+                    k=5).collect() if r["query_id"] == 0]
+    assert mixed == alone
+
+
+def test_matchall_negation_is_bounded(spark, built_index):
+    """A match-all query with a prohibited term ('lang:en -data') must cut
+    to k rows via a per-query TakeOrderedAndProject AFTER its anti-join —
+    never rank every surviving doc in one window partition."""
+    import pyspark.sql.functions as FF
+
+    from ipfs_search_spark.functions.tokenize import tokens_array
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    df = search(spark, io, [(0, "lang:en -data")], k=5)
+    assert "TakeOrderedAndProject" in _plan(df)
+    got = [r["doc_id"] for r in df.collect()]
+    docs = io.read("documents")
+    expected = [r["doc_id"] for r in docs
+                .filter((FF.col("status") == "ok") & (FF.col("lang") == "en"))
+                .filter(~FF.array_contains(tokens_array(FF.col("text")),
+                                           "data"))
+                .orderBy("doc_id").limit(5).collect()]
+    assert got == expected
+
+
 def test_extract_is_arrow_batched(spark, pages):
     """Extraction must run as ArrowEvalPython (pandas UDF), never
     BatchEvalPython (row-at-a-time pickling)."""
