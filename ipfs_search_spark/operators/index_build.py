@@ -177,12 +177,12 @@ def _make_encoder(block_size: int):
     return encode_group
 
 
-def compute_doc_stats(docs: DataFrame,
-                      lang_aware: bool = False) -> tuple[int, float]:
-    """Exact N and avgdl over indexable docs (dl > 0). When the documents
-    table carries the stored `dl` column (canonical_documents writes it),
-    this is a trivial column agg — no re-tokenize pass. Identity-path
-    exactness — no sketches (SURVEY.md §7 hard part 2).
+def doc_stats_sums(docs: DataFrame,
+                   lang_aware: bool = False) -> tuple[int, int]:
+    """Exact (N, total_dl) over indexable docs (dl > 0) — the integer sums
+    behind avgdl. Kept as INTEGERS so incremental indexes can ADD per-segment
+    sums and recover the exact global avgdl (float(total)/n is the identical
+    operation a from-scratch build performs — bit-equal scores).
 
     lang_aware builds must NOT trust a stored dl (it was counted with the
     canonical analyzer; the CJK branch tokenizes differently) — they
@@ -200,8 +200,17 @@ def compute_doc_stats(docs: DataFrame,
            .filter(F.col("dl") > 0)
            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
            .collect()[0])
-    n = int(row["n"])
-    return n, (float(row["sdl"]) / n if n else 0.0)
+    return int(row["n"]), int(row["sdl"] or 0)
+
+
+def compute_doc_stats(docs: DataFrame,
+                      lang_aware: bool = False) -> tuple[int, float]:
+    """Exact N and avgdl over indexable docs (dl > 0). When the documents
+    table carries the stored `dl` column (canonical_documents writes it),
+    this is a trivial column agg — no re-tokenize pass. Identity-path
+    exactness — no sketches (SURVEY.md §7 hard part 2)."""
+    n, sdl = doc_stats_sums(docs, lang_aware=lang_aware)
+    return n, (float(sdl) / n if n else 0.0)
 
 
 def build_postings(docs: DataFrame, n_shards: int = 8,
@@ -260,7 +269,8 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     if lang_aware:
         io.write(docs, "documents")
         docs = io.read("documents")
-        n_docs, avgdl = compute_doc_stats(docs, lang_aware=True)
+        n_docs, total_dl = doc_stats_sums(docs, lang_aware=True)
+        avgdl = float(total_dl) / n_docs if n_docs else 0.0
     else:
         from pyspark.sql import Observation
         if "dl" in docs.columns:
@@ -276,7 +286,8 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
                  "documents")
         row = obs.get
         n_docs = int(row["n"] or 0)
-        avgdl = (float(row["sdl"]) / n_docs) if n_docs else 0.0
+        total_dl = int(row["sdl"] or 0)
+        avgdl = (float(total_dl) / n_docs) if n_docs else 0.0
         docs = io.read("documents")
     postings = build_postings(docs, n_shards=n_shards,
                               n_buckets=n_buckets, block_size=block_size,
@@ -299,12 +310,15 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     )
     # sorted by term for the same row-group-skipping on stats lookups
     io.write(term_stats.sortWithinPartitions("term"), "term_stats")
+    # total_dl (exact integer) rides along so incremental segment appends
+    # can derive the merged avgdl by ADDING per-segment sums — the Searcher
+    # then never re-aggregates postings or re-scans documents at init
     io.write(
         spark.createDataFrame(
             [(n_docs, avgdl, n_shards, n_buckets, block_size,
-              bool(positions))],
+              bool(positions), total_dl)],
             "n_docs long, avgdl double, n_shards int, n_buckets int, "
-            "block_size int, positional boolean",
+            "block_size int, positional boolean, total_dl long",
         ),
         "index_stats",
     )
@@ -376,9 +390,9 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
              "field_stats")
     n_docs = int(srow["n_all"])
     io.write(spark.createDataFrame(
-        [(n_docs, 0.0, n_shards, n_buckets, block_size, bool(positions))],
+        [(n_docs, 0.0, n_shards, n_buckets, block_size, bool(positions), 0)],
         "n_docs long, avgdl double, n_shards int, n_buckets int, "
-        "block_size int, positional boolean"), "index_stats")
+        "block_size int, positional boolean, total_dl long"), "index_stats")
     return {"n_docs": n_docs,
             "fields": {f: (n, a) for f, n, a in fstats_rows}}
 

@@ -543,19 +543,55 @@ class Searcher:
         if include_segments is None:
             include_segments = io.exists("posting_segments")
         if include_segments and io.exists("posting_segments"):
-            from ipfs_search_spark.operators.index_build import (
-                compute_doc_stats,
-            )
             seg = self.io.read("posting_segments").drop("segment_id")
             base = io.read("postings") if has_base else None
             self.postings = (base.unionByName(seg) if base is not None
                              else seg)
-            merged_stats = self.postings.groupBy("term").agg(
-                F.first("bucket").alias("bucket"),
-                F.sum("df_part").alias("df"),
-                F.sum("cf_part").alias("cf"))
-            self.term_stats = merged_stats
-            self.n_docs, self.avgdl = compute_doc_stats(self.documents)
+            base_row = None
+            if has_base and io.exists("index_stats"):
+                base_row = io.read("index_stats").collect()[0].asDict()
+                self._stats_row = base_row
+            incremental = (io.exists("segment_term_stats")
+                           and io.exists("segment_doc_stats")
+                           and (not has_base
+                                or (io.exists("term_stats")
+                                    and base_row is not None
+                                    and base_row.get("total_dl")
+                                    is not None)))
+            if incremental:
+                # exact global stats by SUMMING the small per-segment stats
+                # tables (written at append time) with the base tables —
+                # init touches no postings data files (plan-asserted).
+                # Integer df/cf/total_dl sums make the merged stats
+                # bit-identical to a from-scratch re-aggregation.
+                seg_ts = io.read("segment_term_stats").drop("segment_id")
+                ts = (io.read("term_stats").unionByName(seg_ts) if has_base
+                      else seg_ts)
+                self.term_stats = ts.groupBy("term").agg(
+                    F.first("bucket").alias("bucket"),
+                    F.sum("df").alias("df"),
+                    F.sum("cf").alias("cf"))
+                srow = io.read("segment_doc_stats").agg(
+                    F.sum("n_docs").alias("n"),
+                    F.sum("total_dl").alias("dl")).collect()[0]
+                self.n_docs = (int(base_row["n_docs"]) if base_row else 0) \
+                    + int(srow["n"] or 0)
+                total = (int(base_row["total_dl"]) if base_row else 0) \
+                    + int(srow["dl"] or 0)
+                self.avgdl = (float(total) / self.n_docs
+                              if self.n_docs else 0.0)
+            else:
+                # legacy segment layout (no per-segment stats tables):
+                # re-aggregate the postings union — a full postings scan,
+                # kept only for indexes written before segment stats existed
+                from ipfs_search_spark.operators.index_build import (
+                    compute_doc_stats,
+                )
+                self.term_stats = self.postings.groupBy("term").agg(
+                    F.first("bucket").alias("bucket"),
+                    F.sum("df_part").alias("df"),
+                    F.sum("cf_part").alias("cf"))
+                self.n_docs, self.avgdl = compute_doc_stats(self.documents)
         else:
             stats = io.read("index_stats").collect()[0].asDict()
             self.n_docs = int(stats["n_docs"])

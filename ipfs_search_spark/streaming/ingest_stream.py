@@ -51,9 +51,16 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
     `positions` must match the base index's positional flag: phrase queries
     decode positions across the base∪segments union, so a positional base
     needs positional segments (a mismatch raises a clear codec error at
-    query time, never a wrong result)."""
+    query time, never a wrong result).
+
+    Each segment append also records its OWN statistics —
+    `segment_term_stats` (per-term df/cf of this segment) and
+    `segment_doc_stats` (doc count + exact integer dl sum) — so a Searcher
+    over base∪segments derives exact global stats by SUMMING the small
+    stats tables instead of re-aggregating every postings row at init
+    (which is a full postings scan per session at web scale)."""
     from ipfs_search_spark.operators.index_build import (
-        build_postings, canonical_documents, compute_doc_stats,
+        build_postings, canonical_documents, doc_stats_sums,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -69,13 +76,28 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
             docs = docs.join(io.read("documents").select("url"),
                              "url", "left_anti")
         docs = docs.localCheckpoint(eager=True)
-        n_docs, _ = compute_doc_stats(docs)
+        n_docs, total_dl = doc_stats_sums(docs)
         if n_docs == 0:
             return
         io.append_atomic(docs, "documents")
-        postings = build_postings(docs, n_shards=n_shards,
-                                  n_buckets=n_buckets, positions=positions)
-        io.append_atomic(postings.withColumn("segment_id", F.lit(batch_id)),
-                         "posting_segments")
+        # materialize the (small) micro-batch postings once so the segment
+        # append and its stats aggregation share one tokenize+encode pass
+        postings = (build_postings(docs, n_shards=n_shards,
+                                   n_buckets=n_buckets, positions=positions)
+                    .withColumn("segment_id", F.lit(batch_id))
+                    .localCheckpoint(eager=True))
+        io.append_atomic(postings, "posting_segments")
+        io.append_atomic(
+            postings.groupBy("term").agg(
+                F.first("bucket").alias("bucket"),
+                F.sum("df_part").alias("df"),
+                F.sum("cf_part").alias("cf"))
+            .withColumn("segment_id", F.lit(batch_id)),
+            "segment_term_stats")
+        io.append_atomic(
+            docs.sparkSession.createDataFrame(
+                [(int(batch_id), n_docs, total_dl)],
+                "segment_id long, n_docs long, total_dl long"),
+            "segment_doc_stats")
 
     return handle

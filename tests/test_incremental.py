@@ -3,6 +3,7 @@ must answer queries identically to a from-scratch rebuild over the union."""
 
 import tempfile
 
+import pyspark.sql.functions as F
 import pytest
 
 from ipfs_search_spark.catalog import TableIO
@@ -46,6 +47,40 @@ def test_segment_union_matches_rebuild(spark):
     inc = _results(Searcher(spark, io_inc))  # segments auto-detected
     full = _results(Searcher(spark, io_full))
     assert inc == full
+
+
+def test_segmented_searcher_init_reads_no_postings(spark):
+    """Searcher init on a segmented index must derive global stats from the
+    small base/segment stats tables — never by re-aggregating the postings
+    union (a full postings scan per session at web scale). Plan-asserted:
+    the term_stats plan reads term_stats + segment_term_stats only, and the
+    derived stats equal a from-scratch aggregation."""
+    pages = pages_df(spark, n=300, seed=44).cache()
+    base = pages.limit(200).cache()
+    rest = pages.subtract(base)
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-seg-init-"))
+    build_index(spark, base, io, n_shards=4, n_buckets=16)
+    handle = incremental_index_microbatch(io, n_shards=4, n_buckets=16)
+    handle(rest, batch_id=1)
+
+    sx = Searcher(spark, io)
+    plan = sx.term_stats._sc._jvm.PythonSQLUtils.explainString(
+        sx.term_stats._jdf.queryExecution(), "formatted")
+    # "/postings" never matches ".../posting_segments" (the char after
+    # "posting" there is "_"), so this asserts no postings-table scan
+    assert "/postings" not in plan
+    assert "segment_term_stats" in plan
+    # stats parity vs the legacy full-aggregation path
+    legacy = {r["term"]: (r["df"], r["cf"])
+              for r in sx.postings.groupBy("term")
+              .agg(F.sum("df_part").alias("df"), F.sum("cf_part").alias("cf"))
+              .collect()}
+    got = {r["term"]: (r["df"], r["cf"]) for r in sx.term_stats.collect()}
+    assert got == legacy
+    from ipfs_search_spark.operators.index_build import compute_doc_stats
+    n_exact, avgdl_exact = compute_doc_stats(io.read("documents"))
+    assert (sx.n_docs, sx.avgdl) == (n_exact, avgdl_exact)
 
 
 def test_resighted_urls_not_reindexed(spark):
