@@ -96,6 +96,44 @@ WHERE rank > {offset} AND rank <= {offset + k} ORDER BY rank
 """
 
 
+def _prefix_oracle_sql(prefix: str, k: int, cap: int) -> str:
+    """DuckDB mirror of a prefix (`pf*`) query: expand to the
+    lexicographically-first `cap` vocabulary terms with the prefix (the
+    engine's term-sorted range scan + max_expansions rewrite), then plain
+    OR-mode BM25 over the expansion set."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), exp AS (
+  SELECT term, count(*) AS df FROM toks WHERE term LIKE '{prefix}%'
+  GROUP BY term ORDER BY term LIMIT {cap}
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(sum(
+           ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+           (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                    0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ), 6) AS DOUBLE) AS score
+  FROM toks t
+  JOIN exp ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {k} ORDER BY rank
+"""
+
+
 # Fielded search surface: the reference's default_field set spans 15
 # analyzed fields per query_string (/root/reference/docs/indices/files.json:
 # 10-37) — title, description, content, urls, references.name among them.
@@ -745,6 +783,32 @@ def q_bm25_and(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+PREFIX_QUERY = "s"  # `s*` → scan/slow/small/sort/spark/stream at every sf
+
+
+def _max_prefix_expansions() -> int:
+    """The engine's expansion cap — imported so the oracle LIMIT can never
+    silently diverge from it."""
+    from ipfs_search_spark.plans.query import Searcher
+    return Searcher.MAX_PREFIX_EXPANSIONS
+
+
+def q_prefix_search(spark, sf_dir):
+    """Prefix (trailing-wildcard) query through the engine: `s*` expands
+    against the index vocabulary — a range scan over the term-sorted
+    term_stats table (Lucene's max_expansions rewrite, lexicographically
+    first 50) — and scores as ONE OR-group. Reference: OpenSearch
+    query_string wildcards, /root/reference/docs/api.md:4."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, f"{PREFIX_QUERY}*")], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from ipfs_search_spark.operators.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -1046,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_engine": q_bm25_engine,
         "q_bm25_and": q_bm25_and,
+        "q_prefix_search": q_prefix_search,
         "q_bm25_fields": q_bm25_fields,
         "q_phrase_search": q_phrase_search,
         "q_match_all_filter": q_match_all_filter,
@@ -1170,6 +1235,8 @@ FROM dl
         "q_bm25_engine": bm25,
         "q_bm25_and": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                        conj=True),
+        "q_prefix_search": _prefix_oracle_sql(
+            PREFIX_QUERY, FLAGSHIP_K, _max_prefix_expansions()),
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),

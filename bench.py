@@ -142,6 +142,10 @@ def bench_queries(spark, io) -> dict[str, float]:
     sx.search([(0, "(data^1.5 OR batch) AND merge -stream")],
               k=10).collect()
     lat["bm25_boolean"] = round(time.monotonic() - t0, 4)
+    # prefix surface (vocabulary range-scan expansion → one OR-group)
+    t0 = time.monotonic()
+    sx.search([(0, "dat* merge")], k=10).collect()
+    lat["bm25_prefix"] = round(time.monotonic() - t0, 4)
     return lat
 
 

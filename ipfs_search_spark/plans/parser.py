@@ -9,6 +9,13 @@ a structured Query the scorer + Catalyst filters consume.
 Supported grammar (superset of what the reference's own doc examples use):
   term            free text term (analyzed with the canonical tokenizer)
   term^2.5        boosted term (multiplies the term's idf, Lucene-style)
+  term*           prefix query (Lucene query_string `te*`): expands to the
+                  lexicographically-first MAX_PREFIX_EXPANSIONS vocabulary
+                  terms with that prefix (a range scan over the term-sorted
+                  term_stats), scored as one OR-group — a doc's
+                  contributions from the matched variants combine under the
+                  search's `combine` mode and the group counts ONCE for AND
+                  semantics
   "a b"           phrase: terms must appear ADJACENT in analyzed order
                   (positional index required); quoted phrases are required
                   clauses regardless of mode, and their terms also score
@@ -34,7 +41,11 @@ Restrictions (documented, errors not silent semantic changes):
   clause would require a constant-score match-all branch the reference API
   does not produce either);
 - a boolean query needs at least one positive clause (pure `NOT x` trees
-  match nothing — Lucene behaves the same without an explicit match-all).
+  match nothing — Lucene behaves the same without an explicit match-all);
+- wildcards: only a single trailing `*` (prefix) is supported, on positive
+  clauses at the top level or inside a flat AND/OR group — `te?m`,
+  mid-token `*`, `-term*` and prefixes nested in boolean trees raise
+  QueryParseError.
 
 A query with ONLY filters (no terms/phrases) is match-all-then-filter:
 every doc passing the filters, constant score, ranked by doc_id.
@@ -96,6 +107,9 @@ class Query:
     bool_neg_terms: list = field(default_factory=list)
     # group key -> boost (^N); missing keys default 1.0
     boosts: dict = field(default_factory=dict)
+    # prefix clauses (`te*`): analyzed prefix strings, expanded at search
+    # time against the index vocabulary; boost key is "<prefix>*"
+    prefixes: list = field(default_factory=list)
 
 
 def _norm_field(f: str) -> str:
@@ -173,7 +187,12 @@ def parse_query(q: str, mode: str = "or") -> Query:
             i += 1  # "lang:de AND a"
         out.filters.append(flt)
         i += 1
-    toks = kept
+    # a stray '-' with no following operand (trailing, or right before a
+    # closing paren / binary operator) is sloppy input, not a unary NOT —
+    # drop it instead of letting the tree parser raise on end-of-input
+    toks = [t for j, t in enumerate(kept)
+            if not (t == "-" and (j + 1 >= len(kept)
+                                  or kept[j + 1] in (")", "AND", "OR")))]
 
     has_syntax = any(
         t in _OPS or (_split_boost(t)[1] is not None) for t in toks)
@@ -183,11 +202,25 @@ def parse_query(q: str, mode: str = "or") -> Query:
         _parse_tree(out, toks, mode)
     out.terms = sorted(set(out.terms))
     out.not_terms = sorted(set(out.not_terms) - set(out.terms))
-    out.match_all = (not out.terms and not out.phrases
+    out.prefixes = sorted(set(out.prefixes))
+    out.match_all = (not out.terms and not out.phrases and not out.prefixes
                      and out.bool_tree is None
                      and bool(out.filters or out.not_terms
                               or out.not_phrases))
     return out
+
+
+def _split_prefix(tok: str) -> tuple[str, bool]:
+    """Strip a single trailing `*` (prefix marker). Any other `*` or a `?`
+    is an unsupported wildcard — error, never a silently different query
+    (the analyzer would strip the metachar and match the literal rest)."""
+    is_prefix = tok.endswith("*") and not tok.startswith('"')
+    body = tok[:-1] if is_prefix else tok
+    if "*" in body or "?" in body.lstrip("-"):
+        raise QueryParseError(
+            f"unsupported wildcard in {tok!r}: only a single trailing * "
+            "(prefix query) is supported")
+    return body, is_prefix
 
 
 def _parse_flat(out: Query, toks: list[str]) -> None:
@@ -208,7 +241,20 @@ def _parse_flat(out: Query, toks: list[str]) -> None:
                 out.phrases.append(terms)
                 out.terms.extend(terms)  # phrase terms also score
             continue
+        tok, is_prefix = _split_prefix(tok)
         terms = _analyze(tok)
+        if is_prefix:
+            if not terms:
+                continue  # bare '*' / all-punctuation prefix: nothing
+            if neg:
+                raise QueryParseError(
+                    f"negated prefix -{tok}* is not supported")
+            if len(terms) > 1:
+                raise QueryParseError(
+                    f"prefix wildcard applies to a single term, "
+                    f"got {tok!r}")
+            out.prefixes.append(terms[0])
+            continue
         (out.not_terms if neg else out.terms).extend(terms)
 
 
@@ -318,8 +364,18 @@ class _TreeParser:
             else:
                 node = ("phrase", tuple(terms), boost)
         else:
+            body, is_prefix = _split_prefix(body)
             terms = _analyze(body)
-            if not terms:
+            if is_prefix:
+                if not terms:
+                    node = ("empty",)
+                elif len(terms) > 1:
+                    raise QueryParseError(
+                        f"prefix wildcard applies to a single term, "
+                        f"got {body!r}")
+                else:
+                    node = ("prefix", terms[0], boost)
+            elif not terms:
                 node = ("empty",)
             elif len(terms) == 1:
                 node = ("term", terms[0], boost)
@@ -346,6 +402,10 @@ def _try_flatten(out: Query, tree) -> bool:
         out.terms.append(tree[1])
         _boost_set(out, tree[1], tree[2])
         return True
+    if kind == "prefix":
+        out.prefixes.append(tree[1])
+        _boost_set(out, tree[1] + "*", tree[2])
+        return True
     if kind == "phrase":
         out.phrases.append(list(tree[1]))
         out.terms.extend(tree[1])
@@ -364,10 +424,11 @@ def _try_flatten(out: Query, tree) -> bool:
     if kind in ("and", "or"):
         kids = tree[1:]
         terms = [k for k in kids if k[0] == "term"]
+        prefixes = [k for k in kids if k[0] == "prefix"]
         phrases = [k for k in kids if k[0] == "phrase"]
         negs = [k for k in kids
                 if k[0] == "not" and k[1][0] in ("term", "phrase")]
-        if len(terms) + len(phrases) + len(negs) != len(kids):
+        if len(terms) + len(prefixes) + len(phrases) + len(negs) != len(kids):
             return False
         if kind == "or":
             # flat OR cannot carry required phrases or scoped negation
@@ -379,6 +440,9 @@ def _try_flatten(out: Query, tree) -> bool:
         for k in terms:
             out.terms.append(k[1])
             _boost_set(out, k[1], k[2])
+        for k in prefixes:
+            out.prefixes.append(k[1])
+            _boost_set(out, k[1] + "*", k[2])
         for k in phrases:
             out.phrases.append(list(k[1]))
             out.terms.extend(k[1])
@@ -398,6 +462,12 @@ def _encode_tree(out: Query, node, neg_depth: int = 0):
     phrase key), nested ('and'|'or'|'not', ...) lists. Positive-context
     terms score; NOT-context-only terms are presence probes."""
     kind = node[0]
+    if kind == "prefix":
+        # expansion inside an arbitrarily nested tree would need per-index
+        # vocabulary state in the tree encoding — documented restriction
+        raise QueryParseError(
+            f"prefix query {node[1]}* is not supported inside nested "
+            "boolean trees (flat AND/OR groups only)")
     if kind == "term":
         t = node[1]
         (out.terms if neg_depth % 2 == 0 else out.bool_neg_terms).append(t)

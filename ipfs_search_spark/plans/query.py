@@ -527,6 +527,11 @@ class Searcher:
     # then per-query idf/bucket lookups are dictionary hits instead of a
     # filtered scan+collect job per search call
     TERM_CACHE_MAX = 500_000
+    # prefix queries (`te*`) expand to at most this many vocabulary terms —
+    # Lucene's max_expansions bound; the lexicographically FIRST matches win
+    # (deterministic, and exactly the order the term-sorted range scan
+    # yields them)
+    MAX_PREFIX_EXPANSIONS = 50
 
     def __init__(self, spark: SparkSession, io: TableIO,
                  cache_terms: bool | None = None,
@@ -625,6 +630,24 @@ class Searcher:
                 for r in self.term_stats
                 .filter(F.col("term").isin(terms)).collect()}
 
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int | None = None) -> dict:
+        """term → (df, bucket) for the lexicographically-first
+        `max_expansions` vocabulary terms starting with `prefix` — the
+        expansion set of a `prefix*` query clause. term_stats is written
+        term-sorted (index_build.py), so the uncached path is a
+        StartsWith-pushdown range scan that touches only the row groups
+        covering the prefix range; locally it's a dict scan."""
+        cap = max_expansions or self.MAX_PREFIX_EXPANSIONS
+        if self._term_cache is not None:
+            terms = sorted(t for t in self._term_cache
+                           if t.startswith(prefix))[:cap]
+            return {t: self._term_cache[t] for t in terms}
+        rows = (self.term_stats
+                .filter(F.col("term").startswith(prefix))
+                .orderBy("term").limit(cap).collect())
+        return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
+
     def field_stats(self) -> dict:
         """Per-field (n_docs, avgdl) for fielded indexes (field_stats table
         written by build_fielded_index); {} for single-field indexes."""
@@ -678,7 +701,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     base_terms = sorted({t for p in parsed.values()
                          for t in (p.terms + p.not_terms + p.bool_neg_terms +
                                    [t for ph in p.not_phrases for t in ph])})
-    if not base_terms and not matchall_qids:
+    all_prefixes = sorted({pf for p in parsed.values() for pf in p.prefixes})
+    if not base_terms and not matchall_qids and not all_prefixes:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
@@ -695,6 +719,21 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
         def variants(t):
             return [(None, t)] if t in tstats else []
+
+    # prefix clauses expand ONCE per batch against the index vocabulary
+    # (per field on fielded indexes): prefix → sorted posting-term keys,
+    # each carried as a scoring row of the SAME group so the variants
+    # combine under `combine` and the clause counts once for AND
+    prefix_exp: dict[str, list] = {}
+    for pf in all_prefixes:
+        if fields:
+            exp: dict = {}
+            for fld in sorted(fields):
+                exp.update(sx.expand_prefix(f"{fld}:{pf}"))
+        else:
+            exp = sx.expand_prefix(pf)
+        tstats.update(exp)
+        prefix_exp[pf] = sorted(exp)
 
     # qterms: one row per (query, fielded term). group = the base query term;
     # n_groups = the query's matching base-term count (AND semantics);
@@ -727,11 +766,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         ka = 1 if p.filters else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
-        # AND semantics: a term absent from the whole index matches nothing,
-        # so the conjunction is empty — don't silently drop the term
-        # (boolean trees handle absent terms as always-false leaves instead)
+        live_prefixes = [pf for pf in p.prefixes if prefix_exp.get(pf)]
+        # AND semantics: a term absent from the whole index matches nothing
+        # (likewise a prefix with zero expansions), so the conjunction is
+        # empty — don't silently drop the clause (boolean trees handle
+        # absent terms as always-false leaves instead)
         if p.bool_tree is None and p.mode == "and" and not p.match_all \
-                and len(pos) < len(p.terms):
+                and (len(pos) < len(p.terms)
+                     or len(live_prefixes) < len(p.prefixes)):
             continue
         # quoted phrases are required clauses: a group with no live variant
         # (a term absent from every field's vocabulary) cannot match, so the
@@ -749,9 +791,26 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             bool_json = _json.dumps({"tree": p.bool_tree,
                                      "phrases": bphrases})
         # per-query AND-required count; 0 = OR / boolean-tree semantics
-        n_grp = len(pos) if (p.mode == "and" and p.bool_tree is None
-                             and not p.match_all) else 0
+        # (a prefix clause counts as ONE group however many terms it
+        # expanded to)
+        n_grp = (len(pos) + len(live_prefixes)
+                 if (p.mode == "and" and p.bool_tree is None
+                     and not p.match_all) else 0)
         if not p.match_all:
+            for pf in live_prefixes:
+                gkey = pf + "*"
+                boost_pf = float(p.boosts.get(gkey, 1.0))
+                for ft in prefix_exp[pf]:
+                    if fields:
+                        fld = ft.split(":", 1)[0]
+                        nf, af = fstats[fld]
+                        t_idf = idf(nf, tstats[ft][0])
+                        b = float(fields[fld]) * boost_pf
+                    else:
+                        t_idf, b, af = (idf(n_docs, tstats[ft][0]),
+                                        boost_pf, avgdl)
+                    qterm_rows.append((qid, ft, t_idf, "pos", b, gkey, af,
+                                       n_grp, phrase_json, bool_json, ka))
             for t in pos:
                 for fld, ft in variants(t):
                     if fld is None:
