@@ -73,8 +73,14 @@ class CheckpointedBuild:
                 continue
             t0 = time.monotonic()
             out = fn(p)
-            n = out.count()
-            self.io.append_atomic(out, output_table)
+            # row count rides the append as an observed metric — a separate
+            # count() would run the partition's whole job twice (and at
+            # scale that job is a shuffle over a term-bucket slice)
+            from pyspark.sql import Observation
+            obs = Observation(f"ckpt_{self.build_id}_{p}_{time.monotonic_ns()}")
+            self.io.append_atomic(
+                out.observe(obs, F.count(F.lit(1)).alias("n")), output_table)
+            n = int(obs.get["n"] or 0)
             secs = time.monotonic() - t0
             self._record(p, n, secs, {**(lineage or {}), "partition": p})
             report[p] = {"rows": n, "seconds": secs, "skipped": False}
@@ -120,9 +126,12 @@ def checkpointed_postings_build(spark: SparkSession, io: TableIO,
                                               F.lit(n_shards)).cast("int"))
                   .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                                F.lit(n_buckets)).cast("int")))
+        from pyspark.sql import Observation
         t0 = time.monotonic()
-        io.write(tokens, f"tokens_{build_id}", partition_by=["bucket"])
-        n = io.read(f"tokens_{build_id}").count()
+        obs = Observation(f"tokens_{build_id}_{time.monotonic_ns()}")
+        io.write(tokens.observe(obs, F.count(F.lit(1)).alias("n")),
+                 f"tokens_{build_id}", partition_by=["bucket"])
+        n = int(obs.get["n"] or 0)
         cb._record(f"tokens:{build_id}", n, time.monotonic() - t0,
                    {"phase": "tokenize"})
 
