@@ -809,6 +809,63 @@ def q_prefix_search(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+def q_filter_tree(spark, sf_dir):
+    """Filters as boolean-tree LEAVES (constant-score clauses): `lang:de OR
+    merge` — a doc matches via the metadata clause OR the term; term
+    matches score BM25, filter-only matches the constant 1.0, ties by
+    doc_id. The scorer emits term-presence bits and the tree compiles to a
+    Catalyst predicate evaluated after the metadata join. Reference:
+    query_string field clauses inside the boolean tree,
+    /root/reference/docs/api.md:4."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, "lang:de OR merge")], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+_FILTER_TREE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), tstats AS (
+  SELECT term, count(*) AS df FROM toks WHERE term = 'merge' GROUP BY term
+), bm AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+             (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                      0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ) AS s
+  FROM toks t
+  JOIN tstats ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = 'merge'
+  GROUP BY t.doc_id
+), matched AS (
+  SELECT d.doc_id,
+         CASE WHEN b.doc_id IS NOT NULL
+              THEN CAST(round(b.s, 6) AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS score
+  FROM documents d LEFT JOIN bm b USING (doc_id)
+  WHERE coalesce(d.lang = 'de', false) OR b.doc_id IS NOT NULL
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM matched
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from ipfs_search_spark.operators.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -853,6 +910,108 @@ def q_fingerprint_lookup(spark, sf_dir):
     out = more_like_this(bands, "id", qtext)
     return out.filter(F.col("id") != 10).select(
         F.col("id").alias("doc_id"), "n_shared_bands")
+
+
+_MLT_CACHE: dict[str, object] = {}
+
+
+def _mlt_io(spark: SparkSession, sf_dir: str):
+    """Index (once per sf_dir) whose text IS each doc's fingerprint_field —
+    minhash band keys as analyzer-stable hex tokens — over the planted
+    near-dup base."""
+    key = os.path.abspath(sf_dir)
+    if key in _MLT_CACHE:
+        return _MLT_CACHE[key]
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.dedup import fingerprint_field
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+
+    base = _neardup_base(spark, sf_dir)
+    docs = fingerprint_field(base, "id").select(
+        F.col("id").cast("string").alias("url"),
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("fingerprint").alias("text"),
+        F.lit("en").alias("lang"), F.lit("ok").alias("status"))
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-mlt-"))
+    build_index_from_docs(spark, docs, io, n_shards=4, n_buckets=16)
+    _MLT_CACHE[key] = io
+    return io
+
+
+def q_mlt_search(spark, sf_dir):
+    """More-like-this through the ORDINARY search surface (r2 verdict
+    "missing #3"): the query is doc 10's band keys computed DRIVER-SIDE
+    (plans/query.more_like_this_query → dedup.query_band_keys, pure
+    hashlib) run as a plain BM25 query_string over an index of
+    dedup.fingerprint_field band-key tokens — so near-duplicates rank by
+    BM25 over shared band keys (rarer bands weigh more), with doc 10
+    itself as the top self-match. A green hash proves BOTH the
+    driver/executor hash-chain parity AND the analyzer-stability of band
+    keys as index terms. Reference: the `fingerprint` default_field of the
+    same query_string surface, /root/reference/docs/indices/files.json:36."""
+    from ipfs_search_spark.plans.query import more_like_this_query, search
+    io = _mlt_io(spark, sf_dir)
+    base = _neardup_base(spark, sf_dir)
+    qtext = base.filter(F.col("id") == 10).select("text").collect()[0][0]
+    raw = search(spark, io, [(0, more_like_this_query(qtext))],
+                 k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+_MLT_ORACLE = f"""
+WITH base AS ({_NEARDUP_BASE_SQL}),
+arr AS (
+  SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS a
+  FROM base
+), sh AS (
+  SELECT id, {_SHINGLE3_SQL} AS s FROM arr
+), sig AS (
+  SELECT id,
+         [{", ".join(
+             f"list_aggregate(list_transform(s, "
+             f"x -> substr(md5('{i // 4}|' || x), {8 * (i % 4) + 1}, 8)), "
+             f"'min')" for i in range(8))}] AS sg
+  FROM sh
+), bands AS (
+  SELECT id, unnest([md5('0|' || sg[1] || '|' || sg[2]),
+                     md5('1|' || sg[3] || '|' || sg[4]),
+                     md5('2|' || sg[5] || '|' || sg[6]),
+                     md5('3|' || sg[7] || '|' || sg[8])]) AS band_key
+  FROM sig
+), toks AS (
+  SELECT DISTINCT id AS doc_id, band_key AS term FROM bands
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), q AS (
+  SELECT DISTINCT term FROM toks WHERE doc_id = 10
+), tstats AS (
+  SELECT term, count(*) AS df FROM toks JOIN q USING (term) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(sum(
+           ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+           (1.0 / (1.0 + 1.2 * (1 - 0.75 +
+                   0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ), 6) AS DOUBLE) AS score
+  FROM toks t
+  JOIN tstats ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
 
 
 def q_lsh_neardup(spark, sf_dir):
@@ -1111,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_engine": q_bm25_engine,
         "q_bm25_and": q_bm25_and,
         "q_prefix_search": q_prefix_search,
+        "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
         "q_phrase_search": q_phrase_search,
         "q_match_all_filter": q_match_all_filter,
@@ -1122,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
         "q_fingerprint_lookup": q_fingerprint_lookup,
+        "q_mlt_search": q_mlt_search,
         "q_lsh_neardup": q_lsh_neardup,
         "q_simhash_neardup": q_simhash_neardup,
         "q_ann_cosine": q_ann_cosine,
@@ -1237,6 +1398,7 @@ FROM dl
                                        conj=True),
         "q_prefix_search": _prefix_oracle_sql(
             PREFIX_QUERY, FLAGSHIP_K, _max_prefix_expansions()),
+        "q_filter_tree": _FILTER_TREE_ORACLE,
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
@@ -1369,6 +1531,7 @@ SELECT a.doc_id,
        list_aggregate(list_transform(sh3.s, x -> md5('3|' || x)), 'min') AS mh3
 FROM arr a JOIN sh3 ON a.doc_id = sh3.doc_id JOIN sh5 ON a.doc_id = sh5.doc_id
 """,
+        "q_mlt_search": _MLT_ORACLE,
         "q_fingerprint_lookup": f"""
 WITH base AS ({_NEARDUP_BASE_SQL}),
 arr AS (

@@ -274,10 +274,16 @@ def _cpu_chunk(_) -> int:
     return _probe_work(250_000)
 
 
+GATE_TRIES = int(os.environ.get("SPARK_GRAFT_GATE_TRIES", "10"))
+
+
 def wait_for_quiet_host(best_probe: float | None, tol: float = 1.15,
-                        max_tries: int = 10) -> tuple[float, float]:
+                        max_tries: int = GATE_TRIES) -> tuple[float, float]:
     """Gate a measurement on host capacity: probe until within `tol` of the
-    best capacity seen this bench session (or tries exhausted). Returns
+    best capacity seen this bench session (or tries exhausted — raise
+    SPARK_GRAFT_GATE_TRIES when the box is in a long contended phase; the
+    1.2M r3 session ran after a 150 s gate timeout inside a window whose
+    memcpy envelope was 0.39 and recorded a misleading 0.44 raw). Returns
     (this_probe_seconds, updated_best)."""
     t = cpu_probe()
     best = t if best_probe is None else min(best_probe, t)

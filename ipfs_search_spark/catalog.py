@@ -121,14 +121,22 @@ SNAPSHOT_MANIFEST = "_snapshot_manifest"
 
 def _partition_cols(io: TableIO, name: str) -> list[str]:
     """Hive-style partition columns of a parquet-fallback table (Iceberg
-    carries its own partition spec in metadata)."""
+    carries its own partition spec in metadata). Walks ONE leaf path down,
+    collecting every `k=` level — multi-column partitioning nests dirs
+    (`a=1/b=2/part-*.parquet`), so stopping at the first level would
+    snapshot/restore such a table with a truncated partition spec."""
     if io.iceberg:
         return []
+    cols: list[str] = []
     p = io._path(name)
-    for f in os.listdir(p):
-        if "=" in f and os.path.isdir(os.path.join(p, f)):
-            return [f.split("=", 1)[0]]
-    return []
+    while True:
+        nxt = next((f for f in os.listdir(p)
+                    if "=" in f and os.path.isdir(os.path.join(p, f))),
+                   None)
+        if nxt is None:
+            return cols
+        cols.append(nxt.split("=", 1)[0])
+        p = os.path.join(p, nxt)
 
 
 def export_snapshot(io: TableIO, dest_root: str) -> dict[str, int]:

@@ -165,6 +165,25 @@ def minhash_bands(df: DataFrame, key: str, text_col: str = "text",
         F.explode(F.array(*_band_key_cols(n_hashes, bands))).alias("band_key"))
 
 
+def fingerprint_field(df: DataFrame, key: str, text_col: str = "text",
+                      n_hashes: int = 8, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """(key, fingerprint) — each doc's minhash band keys joined as a
+    space-separated token string, for INDEXING as an ordinary (or fielded)
+    search field. Band keys are lowercase hex, so the canonical analyzer
+    keeps them intact: an index built over this column makes
+    more-like-this reachable from the plain `search()` surface — BM25 over
+    shared band keys, rarer bands weighing more — which is exactly the
+    reference's `fingerprint` default_field (the 5-shingle + min_hash
+    analyzer field searched by the same query_string,
+    /root/reference/docs/indices/files.json:36,39-63). Query side:
+    plans/query.more_like_this_query(text)."""
+    b = minhash_bands(df, key, text_col, n_hashes, bands, shingle_n)
+    return b.groupBy(key).agg(
+        F.array_join(F.array_sort(F.collect_set("band_key")), " ")
+        .alias("fingerprint"))
+
+
 def query_band_keys(text: str, n_hashes: int = 8, bands: int = 4,
                     shingle_n: int = 3) -> list[str]:
     """Driver-side mirror of the banded-minhash chain for ONE query string

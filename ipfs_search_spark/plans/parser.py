@@ -35,11 +35,19 @@ Supported grammar (superset of what the reference's own doc examples use):
   last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
   size:>N, size:<N                   numeric range filter
 
+Filters compose two ways:
+- as top-level conjuncts (`data lang:de`): pure constraints on the result
+  set, no score contribution — the original grammar;
+- as boolean-tree LEAVES (`lang:de OR merge`, any paren/OR/NOT position):
+  constant-score clauses, OpenSearch query_string field-clause semantics.
+  A doc matching the tree scores the sum of its present positive term
+  leaves, floored at the constant 1.0 when no positive term matched
+  (filter-only matches rank below real term matches and tie by doc_id).
+  The scorer emits per-doc term-presence bits; the tree compiles to one
+  Catalyst predicate evaluated after the metadata join (plans/query.py
+  _tree_sql).
+
 Restrictions (documented, errors not silent semantic changes):
-- filters are top-level conjuncts: they may not be OR'd or nested in
-  parentheses (a filter restricts the index scan; OR-ing it with a scoring
-  clause would require a constant-score match-all branch the reference API
-  does not produce either);
 - a boolean query needs at least one positive clause (pure `NOT x` trees
   match nothing — Lucene behaves the same without an explicit match-all);
 - wildcards: only a single trailing `*` (prefix) is supported, on positive
@@ -110,6 +118,10 @@ class Query:
     # prefix clauses (`te*`): analyzed prefix strings, expanded at search
     # time against the index vocabulary; boost key is "<prefix>*"
     prefixes: list = field(default_factory=list)
+    # filter leaves inside the boolean tree (constant-score clauses, e.g.
+    # `lang:de OR merge`): leaf group key -> Filter. Top-level-conjunct
+    # filters stay in `filters` (pure constraints, no score).
+    bool_filters: dict = field(default_factory=dict)
 
 
 def _norm_field(f: str) -> str:
@@ -167,16 +179,18 @@ def parse_query(q: str, mode: str = "or") -> Query:
             kept.append(t)
             i += 1
             continue
-        if depth > 0:
-            raise QueryParseError(
-                f"filter {t!r} inside parentheses: filters are top-level "
-                "conjuncts")
         prev = kept[-1] if kept else None
+        prev2 = kept[-2] if len(kept) >= 2 else None
         nxt = toks[i + 1] if i + 1 < len(toks) else None
-        if prev in ("OR",) or nxt == "OR":
-            raise QueryParseError(
-                f"filter {t!r} cannot be an OR operand: filters are "
-                "conjunctive")
+        if depth > 0 or prev == "OR" or nxt == "OR" \
+                or (prev in ("NOT", "-") and prev2 == "OR"):
+            # not a top-level conjunct: keep the token in the stream — the
+            # tree parser turns it into a constant-score filter LEAF
+            # (`lang:de OR merge`, the query_string shape where field
+            # clauses compose inside the boolean tree)
+            kept.append(t)
+            i += 1
+            continue
         if prev in ("NOT", "-"):
             flt.neg = not flt.neg
             kept.pop()
@@ -355,6 +369,14 @@ class _TreeParser:
         if neg:
             t = t[1:]
         body, boost = _split_boost(t)
+        flt = _is_filter_tok(body)
+        if flt is not None:
+            # field:value inside the tree = a constant-score filter leaf
+            # (OpenSearch query_string field clause); `boost` is accepted
+            # but constant-score clauses contribute no term score, so it
+            # is inert by design
+            node = ("filter", flt, boost)
+            return ("not", node) if neg else node
         if body.startswith('"') and body.endswith('"') and len(body) >= 2:
             terms = _analyze(body[1:-1])
             if not terms:
@@ -412,6 +434,10 @@ def _try_flatten(out: Query, tree) -> bool:
         for t in tree[1]:
             _boost_set(out, t, tree[2])
         return True
+    if kind == "filter":
+        # `(lang:de)` — a lone filter leaf IS a top-level conjunct
+        out.filters.append(tree[1])
+        return True
     if kind == "not":
         c = tree[1]
         if c[0] == "term":
@@ -420,23 +446,43 @@ def _try_flatten(out: Query, tree) -> bool:
         if c[0] == "phrase":
             out.not_phrases.append(list(c[1]))
             return True
+        if c[0] == "filter":
+            f = c[1]
+            out.filters.append(Filter(f.field, f.op, f.value,
+                                      neg=not f.neg))
+            return True
         return False
     if kind in ("and", "or"):
         kids = tree[1:]
         terms = [k for k in kids if k[0] == "term"]
         prefixes = [k for k in kids if k[0] == "prefix"]
         phrases = [k for k in kids if k[0] == "phrase"]
+        filters = [k for k in kids if k[0] == "filter"]
         negs = [k for k in kids
                 if k[0] == "not" and k[1][0] in ("term", "phrase")]
-        if len(terms) + len(prefixes) + len(phrases) + len(negs) != len(kids):
+        negflts = [k for k in kids
+                   if k[0] == "not" and k[1][0] == "filter"]
+        if len(terms) + len(prefixes) + len(phrases) + len(negs) \
+                + len(filters) + len(negflts) != len(kids):
             return False
         if kind == "or":
-            # flat OR cannot carry required phrases or scoped negation
-            if phrases or negs:
+            # flat OR cannot carry required phrases, scoped negation, or
+            # filter leaves (an OR over a filter is a real disjunction —
+            # the tree path handles it)
+            if phrases or negs or filters or negflts:
                 return False
             out.mode = "or"
         else:
+            # conjunct filters ARE the top-level-filter semantics
             out.mode = "and"
+            for k in filters:
+                out.filters.append(k[1])
+            for k in negflts:
+                f = k[1][1]
+                out.filters.append(Filter(f.field, f.op, f.value,
+                                          neg=not f.neg))
+            if not terms and not prefixes and not phrases and not negs:
+                return True  # pure filter conjunction → match-all path
         for k in terms:
             out.terms.append(k[1])
             _boost_set(out, k[1], k[2])
@@ -468,6 +514,12 @@ def _encode_tree(out: Query, node, neg_depth: int = 0):
         raise QueryParseError(
             f"prefix query {node[1]}* is not supported inside nested "
             "boolean trees (flat AND/OR groups only)")
+    if kind == "filter":
+        flt = node[1]
+        key = (f"flt:{'-' if flt.neg else ''}{flt.field}"
+               f"{flt.op}{flt.value}")
+        out.bool_filters[key] = flt
+        return key
     if kind == "term":
         t = node[1]
         (out.terms if neg_depth % 2 == 0 else out.bool_neg_terms).append(t)

@@ -75,6 +75,11 @@ CANDIDATE_SCHEMA = StructType([
     StructField("query_id", IntegerType()),
     StructField("doc_id", LongType()),
     StructField("score", DoubleType()),
+    # per-doc presence bitmask of the query's term/phrase tree leaves —
+    # populated ONLY for boolean trees carrying filter leaves (the final
+    # tree evaluation then happens JVM-side, where the doc metadata the
+    # filter leaves need is joinable); 0 everywhere else
+    StructField("bits", LongType()),
 ])
 
 
@@ -137,6 +142,52 @@ def _filters_pred(p: Query, doc_cols) -> str | None:
     return " AND ".join(preds) if preds else "true"
 
 
+def _tree_leaves(node) -> set:
+    """All string leaf keys of an encoded boolean tree."""
+    if isinstance(node, str):
+        return {node}
+    out: set = set()
+    for c in node[1:]:
+        out |= _tree_leaves(c)
+    return out
+
+
+def _tree_sql(node, bool_filters: dict, bitmap: dict, doc_cols,
+              terms_false: bool = False) -> str:
+    """Compile an encoded boolean tree with filter leaves to a Spark SQL
+    predicate over (candidate ⋈ documents) rows: term/phrase leaves become
+    bit tests on the scorer-emitted `bits` column, filter leaves become
+    their (validated, escaped) metadata predicates. terms_false=True
+    renders the filter-only-satisfiable form (every term leaf false) —
+    the predicate for docs with no query term at all."""
+    if isinstance(node, str):
+        flt = bool_filters.get(node)
+        if flt is not None:
+            base = ("references" if flt.field == "references.name"
+                    else flt.field)
+            if base not in doc_cols:
+                return "true" if flt.neg else "false"
+            # coalesce: a NULL metadata value means the leaf does not
+            # match (and under NOT, that the doc is kept) — Lucene
+            # must/must_not semantics, not SQL 3-valued logic
+            return f"coalesce(({filter_to_sql(flt)}), false)"
+        if terms_false:
+            return "false"
+        b = bitmap.get(node)
+        if b is None:  # term absent from the whole index
+            return "false"
+        return f"((bits & {1 << b}) != 0)"
+    op = node[0]
+    if op == "not":
+        return ("(NOT " +
+                _tree_sql(node[1], bool_filters, bitmap, doc_cols,
+                          terms_false) + ")")
+    glue = " AND " if op == "and" else " OR "
+    return ("(" + glue.join(_tree_sql(c, bool_filters, bitmap, doc_cols,
+                                      terms_false)
+                            for c in node[1:]) + ")")
+
+
 def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                  combine: str = "sum", phrase_mode: str | None = None):
     """Scorer for one (query, shard) group.
@@ -191,10 +242,12 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         else:
             negs_pdf = negps_pdf = pdf.iloc[0:0]
         if len(pdf) == 0:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}
+            return pd.DataFrame({"query_id": [], "doc_id": [],
+                                 "score": [], "bits": []}
                                 ).astype({"query_id": "int32",
                                           "doc_id": "int64",
-                                          "score": "float64"})
+                                          "score": "float64",
+                                          "bits": "int64"})
         n_rows = len(pdf)
         phrases: list = []
         if phrase_mode is not None and "phrase_json" in pdf.columns:
@@ -390,10 +443,12 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     pos_acc[t_name].append(
                         (ids_b, tfs_b, decode_block_positions(blk, tfs_b)))
         if not ids_parts:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}
+            return pd.DataFrame({"query_id": [], "doc_id": [],
+                                 "score": [], "bits": []}
                                 ).astype({"query_id": "int32",
                                           "doc_id": "int64",
-                                          "score": "float64"})
+                                          "score": "float64",
+                                          "bits": "int64"})
         ids = np.concatenate(ids_parts)
         scores = np.concatenate(sc_parts)
         grps = np.concatenate(grp_parts)
@@ -461,6 +516,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     "query_id": np.full(docs_any.size, qid, dtype=np.int32),
                     "doc_id": docs_any.astype(np.int64),
                     "score": np.zeros(docs_any.size, dtype=np.float64),
+                    "bits": np.zeros(docs_any.size, dtype=np.int64),
                 })
             mask = np.ones(doc_ids.size, dtype=bool)
             for m in matched:
@@ -500,6 +556,29 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     acc = (acc & _ev(c)) if op == "and" else (acc | _ev(c))
                 return acc
 
+            bitmap = bool_spec.get("bitmap")
+            if bitmap:
+                # tree has FILTER leaves: the scorer cannot decide the tree
+                # (no doc metadata here) — emit the term/phrase presence
+                # bits instead and let the plan evaluate the full tree
+                # JVM-side after joining the metadata in. No cut here
+                # (keep_all rides the qterms column for these queries).
+                bits_vec = np.zeros(doc_ids.size, dtype=np.int64)
+                for key, b in bitmap.items():
+                    if key in ph_pres:
+                        pres = ph_pres[key]
+                    else:
+                        gi = group_of.get(key)
+                        if gi is None:  # absent from the whole index
+                            continue
+                        pres = M[:, gi]
+                    bits_vec |= pres.astype(np.int64) << np.int64(b)
+                return pd.DataFrame({
+                    "query_id": np.full(doc_ids.size, qid, dtype=np.int32),
+                    "doc_id": doc_ids.astype(np.int64),
+                    "score": doc_scores.astype(np.float64),
+                    "bits": bits_vec,
+                })
             bmask = _ev(bool_spec["tree"])
             doc_ids, doc_scores = doc_ids[bmask], doc_scores[bmask]
         if not keep_all_q and doc_ids.size > k:
@@ -513,6 +592,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             "query_id": np.full(doc_ids.size, qid, dtype=np.int32),
             "doc_id": doc_ids.astype(np.int64),
             "score": doc_scores.astype(np.float64),
+            "bits": np.zeros(doc_ids.size, dtype=np.int64),
         })
 
     return score_shard
@@ -663,6 +743,20 @@ class Searcher:
                             fields=fields, combine=combine, offset=offset)
 
 
+def more_like_this_query(text: str, n_hashes: int = 8, bands: int = 4,
+                         shingle_n: int = 3) -> str:
+    """Query string for a fingerprint more-like-this probe through the
+    ORDINARY search surface: the text's minhash band keys (computed
+    driver-side, no Spark job — dedup.query_band_keys) as OR terms.
+    Against an index carrying dedup.fingerprint_field as its text (or as a
+    field of a fielded index), this ranks near-duplicates by BM25 over
+    shared band keys — the reference's `fingerprint` default_field
+    reached by the same query_string as everything else
+    (/root/reference/docs/indices/files.json:36,39-63)."""
+    from ipfs_search_spark.operators.dedup import query_band_keys
+    return " ".join(query_band_keys(text, n_hashes, bands, shingle_n))
+
+
 def search(spark: SparkSession, io: TableIO, queries: list,
            k: int = 10, mode: str = "or", prune: bool = True,
            fields: dict | None = None, combine: str = "sum",
@@ -702,7 +796,13 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                          for t in (p.terms + p.not_terms + p.bool_neg_terms +
                                    [t for ph in p.not_phrases for t in ph])})
     all_prefixes = sorted({pf for p in parsed.values() for pf in p.prefixes})
-    if not base_terms and not matchall_qids and not all_prefixes:
+    # boolean trees with filter leaves (constant-score clauses): candidate
+    # generation below, final tree evaluation JVM-side after the metadata
+    # join — their candidates exist even when no term leaf is live
+    ft_qids = sorted(qid for qid, p in parsed.items()
+                     if p.bool_filters and p.bool_tree is not None)
+    if not base_terms and not matchall_qids and not all_prefixes \
+            and not ft_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
@@ -759,11 +859,13 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         return groups
 
     qterm_rows = []
+    bitmaps: dict[int, dict] = {}
     for qid, p in parsed.items():
         # per-query keep_all flag: this query's filters apply post-scoring,
         # so ITS per-shard cut must stay off — without punishing the other
-        # queries in the batch
-        ka = 1 if p.filters else 0
+        # queries in the batch (filter-leaf trees likewise: their tree is
+        # decided after the metadata join, so no pre-tree cut is sound)
+        ka = 1 if (p.filters or p.bool_filters) else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
         live_prefixes = [pf for pf in p.prefixes if prefix_exp.get(pf)]
@@ -788,8 +890,17 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         if p.bool_tree is not None:
             bphrases = {key: phrase_groups([terms])[0]
                         for key, terms in p.bool_phrases.items()}
-            bool_json = _json.dumps({"tree": p.bool_tree,
-                                     "phrases": bphrases})
+            spec = {"tree": p.bool_tree, "phrases": bphrases}
+            if p.bool_filters:
+                leaves = sorted(_tree_leaves(p.bool_tree)
+                                - set(p.bool_filters))
+                if len(leaves) > 63:
+                    raise ValueError(
+                        "boolean trees with filter leaves support at most "
+                        f"63 term/phrase leaves, got {len(leaves)}")
+                spec["bitmap"] = {key: i for i, key in enumerate(leaves)}
+                bitmaps[qid] = spec["bitmap"]
+            bool_json = _json.dumps(spec)
         # per-query AND-required count; 0 = OR / boolean-tree semantics
         # (a prefix clause counts as ONE group however many terms it
         # expanded to)
@@ -847,7 +958,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             # variants already carry posting-term keys (fielded or bare)
             qterm_rows.append((qid, ft, 0.0, knp, 1.0, ft, avgdl,
                                0, negp_json, "", ka))
-    if not qterm_rows and not matchall_qids:
+    if not qterm_rows and not matchall_qids and not ft_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
 
@@ -899,6 +1010,63 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         neg_union = neg_docs.unionByName(negp_docs)
 
     docs = sx.documents
+    # Boolean trees with filter leaves: the scorer emitted per-doc presence
+    # bits for the term/phrase leaves; evaluate the FULL tree here, where
+    # the metadata the filter leaves need is joinable. Two branches per
+    # query: (A) scored candidates (docs containing ≥1 query term) — join
+    # the metadata, apply the compiled tree predicate, keep the term score
+    # floored at the constant-score 1.0; (B) filter-only matches (docs with
+    # NO query term can still satisfy the tree through its filter leaves) —
+    # a pruned documents scan with every term leaf false, constant score
+    # 1.0, anti-joined against A's universe, cut to the k_page lowest
+    # doc_ids (sound: B rows all tie at 1.0 and the global rank breaks
+    # ties by doc_id ASC).
+    if ft_qids:
+        meta_cols = sorted({
+            ("references" if f.field == "references.name" else f.field)
+            for qid in ft_qids
+            for f in parsed[qid].bool_filters.values()
+        } & set(docs.columns))
+        parts = ([candidates.filter(~F.col("query_id").isin(ft_qids))]
+                 if candidates is not None else [])
+        base = (docs.filter(F.col("status") == "ok")
+                if "status" in docs.columns else docs)
+        for qid in ft_qids:
+            p = parsed[qid]
+            bm = bitmaps.get(qid, {})
+            if candidates is not None:
+                tree_pred = _tree_sql(p.bool_tree, p.bool_filters, bm,
+                                      docs.columns)
+                a = (candidates.filter(F.col("query_id") == qid)
+                     .join(docs.select("doc_id", *meta_cols),
+                           "doc_id", "left")
+                     .filter(F.expr(tree_pred))
+                     .select("query_id", "doc_id",
+                             F.when(F.col("score") > 0.0, F.col("score"))
+                             .otherwise(F.lit(1.0)).alias("score"),
+                             F.lit(0).cast("long").alias("bits")))
+                parts.append(a)
+            conj = _filters_pred(p, docs.columns)
+            if conj is None:
+                continue  # conjunct filters cannot match on this index
+            b_pred = _tree_sql(p.bool_tree, p.bool_filters, bm,
+                               docs.columns, terms_false=True)
+            if conj != "true":
+                b_pred = f"({b_pred}) AND ({conj})"
+            b = (base.filter(F.expr(b_pred))
+                 .select(F.lit(qid).cast("int").alias("query_id"),
+                         F.col("doc_id").cast("long").alias("doc_id"),
+                         F.lit(1.0).alias("score"),
+                         F.lit(0).cast("long").alias("bits")))
+            if candidates is not None:
+                b = b.join(candidates.filter(F.col("query_id") == qid)
+                           .select("doc_id"), "doc_id", "left_anti")
+            parts.append(b.orderBy("doc_id").limit(k_page))
+        candidates = None
+        for pt in parts:
+            candidates = pt if candidates is None \
+                else candidates.unionByName(pt)
+
     # match-all-then-filter queries (filter/negation-only query strings):
     # every doc passing the filters, constant score 1.0, ranked by doc_id —
     # the scan is pruned by the filter predicate. The per-query
@@ -919,7 +1087,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             d = d.filter(F.expr(pred))
         sel = d.select(F.lit(qid).cast("int").alias("query_id"),
                        F.col("doc_id").cast("long").alias("doc_id"),
-                       F.lit(1.0).alias("score"))
+                       F.lit(1.0).alias("score"),
+                       F.lit(0).cast("long").alias("bits"))
         if (p.not_terms or p.not_phrases) and neg_union is not None:
             sel = sel.join(neg_union.filter(F.col("query_id") == qid),
                            ["query_id", "doc_id"], "left_anti")
@@ -948,6 +1117,9 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                           .filter(~F.col("query_id").isin(flt_qids))
                           .unionByName(cand_f))
 
+    if candidates is None:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, url string, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     topk = (candidates.withColumn("rank", F.row_number().over(w))
             .filter((F.col("rank") <= k_page) & (F.col("rank") > offset)))

@@ -48,10 +48,13 @@ def test_parser_boost_and_implicit_not():
 
 
 def test_parser_errors():
-    for bad in ["(a OR b", "a)", "a AND", "OR a", "lang:de OR x",
-                "(x lang:de)", "x AND NOT"]:
+    for bad in ["(a OR b", "a)", "a AND", "OR a", "x AND NOT"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
+    # formerly errors, now filter LEAVES in the tree (constant-score
+    # clauses — tests/test_filter_tree.py covers the semantics)
+    assert parse_query("lang:de OR x").bool_filters
+    assert parse_query("(x lang:de)").bool_filters
 
 
 @pytest.fixture(scope="module")

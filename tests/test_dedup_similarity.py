@@ -230,3 +230,40 @@ def test_ivf_topk_recall_and_determinism(spark, vectors):
         full = [r["vec_id"] for r in
                 ivf_topk(cells, c1, q, k=5, n_probe=8).collect()]
         assert brute == full
+
+
+def test_mlt_through_search_surface(spark, corpus, tmp_path):
+    """fingerprint_field + more_like_this_query wire near-dup lookup into
+    the ORDINARY search() surface (the reference's `fingerprint`
+    default_field is part of the same query_string): an index whose text
+    is each doc's band keys, probed with a plain BM25 query of the
+    driver-computed band keys — the doc itself is the top self-match and
+    its planted dups outrank unrelated docs."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.dedup import fingerprint_field
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+    from ipfs_search_spark.plans.query import (
+        Searcher, more_like_this_query,
+    )
+
+    texts = {r["id"]: r["text"] for r in corpus.collect()}
+    docs = fingerprint_field(corpus, "id").select(
+        F.col("id").cast("string").alias("url"),
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("fingerprint").alias("text"),
+        F.lit("en").alias("lang"), F.lit("ok").alias("status"))
+    io = TableIO(spark, str(tmp_path / "mlt-ix"))
+    build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=8)
+    sx = Searcher(spark, io)
+
+    # probe doc 2 (has the exact dup 2002): self + exact dup share ALL
+    # bands, so they take ranks 1-2 (tie broken by doc_id)
+    rows = sx.search([(0, more_like_this_query(texts[2]))], k=5).collect()
+    got = [(r["rank"], r["doc_id"]) for r in rows]
+    assert got[0] == (1, 2) and got[1] == (2, 2002)
+
+    # probe doc 0's near-dup text: doc 0 must surface among the hits
+    hits = {r["doc_id"]: r["rank"] for r in
+            sx.search([(0, more_like_this_query(texts[1000]))],
+                      k=10).collect()}
+    assert 1000 in hits and 0 in hits

@@ -44,3 +44,27 @@ def test_restore_rejects_torn_snapshot(spark, built_index, tmp_path):
     with pytest.raises(ValueError, match="manifest"):
         restore_snapshot(str(tmp_path / "nowhere"),
                          TableIO(spark, str(tmp_path / "r3")))
+
+
+def test_snapshot_multilevel_partitioning(spark, tmp_path):
+    """A table written with TWO partition levels must snapshot/restore with
+    the full partition spec (r2 advice: _partition_cols stopped at the
+    first `k=` level)."""
+    from ipfs_search_spark.catalog import _partition_cols
+
+    io = TableIO(spark, str(tmp_path / "ml-src"))
+    df = spark.createDataFrame(
+        [(b, s, i) for b in range(2) for s in range(2) for i in range(5)],
+        "bucket int, shard int, v int")
+    io.write(df, "t2", partition_by=["bucket", "shard"])
+    assert _partition_cols(io, "t2") == ["bucket", "shard"]
+
+    snap = str(tmp_path / "ml-snap")
+    export_snapshot(io, snap)
+    rio = TableIO(spark, str(tmp_path / "ml-restored"))
+    restore_snapshot(snap, rio)
+    assert _partition_cols(rio, "t2") == ["bucket", "shard"]
+    # partitioned reads append partition columns last — compare by name
+    got = rio.read("t2").select("bucket", "shard", "v").collect()
+    assert sorted(tuple(r) for r in got) == \
+        sorted(tuple(r) for r in df.collect())
