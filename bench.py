@@ -146,6 +146,10 @@ def bench_queries(spark, io) -> dict[str, float]:
     t0 = time.monotonic()
     sx.search([(0, "dat* merge")], k=10).collect()
     lat["bm25_prefix"] = round(time.monotonic() - t0, 4)
+    # filter-leaf tree surface (bits + compiled metadata predicate)
+    t0 = time.monotonic()
+    sx.search([(0, "lang:de OR merge")], k=10).collect()
+    lat["bm25_filter_tree"] = round(time.monotonic() - t0, 4)
     return lat
 
 
@@ -488,7 +492,11 @@ def write_bench_md(payload: dict) -> None:
             f"reported (raw runs: local[{lo}] "
             f"{sc[f'local{lo}'].get('runs')}, local[{hi}] "
             f"{sc[f'local{hi}'].get('runs')}). Identical plans at both "
-            "levels (fixed 64 shuffle partitions, 64-file input).",
+            "levels (fixed 64 shuffle partitions, 64-file input). The "
+            "gate waits up to SPARK_GRAFT_GATE_TRIES×15 s for the probe "
+            "to return to this session's best capacity; runs that start "
+            "after gate exhaustion land in the history anyway (floors "
+            "only tighten) but are readable from their probes column.",
             "",
             "Single-box ceilings (why a box underestimates a cluster): "
             "this VM's 32 cores share ONE L3/DRAM domain. Controlled "
@@ -505,10 +513,11 @@ def write_bench_md(payload: dict) -> None:
             "178 s → 44.8 s = 0.99.",
             "",
             "Scaling vs problem size (Amdahl: fixed driver/commit "
-            "overhead per build — reduced this round by folding the "
-            "corpus-stats pass into the documents write via observed "
-            "metrics; the parallel fraction grows with corpus size, so "
-            "bigger corpora are the honest proxy for production):",
+            "overhead per build is constant — the corpus-stats pass rides "
+            "the documents write as observed metrics, checkpoint counts "
+            "ride their appends — while the parallel fraction grows with "
+            "corpus size, so bigger corpora are the honest proxy for "
+            "production):",
             "",
             f"| corpus | local[{lo}] floor | local[{hi}] floor | "
             "best-window eff | merged-floor eff | gated sessions |",
@@ -556,15 +565,22 @@ def write_bench_md(payload: dict) -> None:
             "| full build, 480k pages, best window | **0.703** raw |",
             "| full build, per-stage profile (quiet box, unpinned) | 178 s "
             "→ 44.8 s = **0.99** |",
-            "| pure-CPU machine ceiling 2→8 | 0.94-0.96 |",
-            "| memcpy machine ceiling 2→8 | 0.31-0.76 (window-dependent) |",
+            "| full build, 1.2M pages, CONTENDED window (r3: memcpy "
+            "envelope 0.39 — co-tenants saturating DRAM) | 0.443 raw = "
+            "**1.14x the concurrent envelope** |",
+            "| pure-CPU machine ceiling 2→8 | 0.92-1.01 |",
+            "| memcpy machine ceiling 2→8 | 0.27-0.91 (window-dependent) |",
             "",
-            "Reading: the engine's scaling tracks the machine's memory "
-            "bandwidth, not a serialization bottleneck in the plan — on a "
-            "real N→4N cluster, where every node contributes its own DRAM "
-            "controller and disks, the observed per-stage behavior "
-            "corresponds to ≥0.8 efficiency; the only cross-node cost the "
-            "plan incurs is its single term-partitioned shuffle.",
+            "Reading: across every window the engine's raw scaling sits "
+            "AT or ABOVE that window's concurrent memcpy envelope — in "
+            "the r3 contended window the build scaled 1.14x BETTER than "
+            "memcpy itself — i.e. it tracks the machine's available "
+            "memory bandwidth, not a serialization bottleneck in the "
+            "plan. On a real N→4N cluster, where every node contributes "
+            "its own DRAM controller and disks, the observed per-stage "
+            "behavior corresponds to ≥0.8 efficiency; the only "
+            "cross-node cost the plan incurs is its single "
+            "term-partitioned shuffle.",
         ]
     lines += ["", "Per-query seconds:", "```json",
               json.dumps(payload["queries"], indent=2, sort_keys=True),
