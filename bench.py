@@ -294,8 +294,11 @@ def wait_for_quiet_host(best_probe: float | None, tol: float = 1.15,
     1.2M r3 session ran after a 150 s gate timeout inside a window whose
     memcpy envelope was 0.39 and recorded a misleading 0.44 raw). Returns
     (this_probe_seconds, updated_best)."""
-    if best_probe is None and PROBE_BEST_SEED:
-        best_probe = float(PROBE_BEST_SEED)
+    if best_probe is None:
+        if PROBE_BEST_SEED:
+            best_probe = float(PROBE_BEST_SEED)
+        else:
+            best_probe = _history_probe_floor()
     t = cpu_probe()
     best = t if best_probe is None else min(best_probe, t)
     tries = 0
@@ -308,6 +311,56 @@ def wait_for_quiet_host(best_probe: float | None, tol: float = 1.15,
 
 
 SWEEP_FILE = os.path.join(REPO, "SCALING_SWEEP.json")
+
+
+def _history_probe_floor() -> float | None:
+    """Lowest capacity probe across every recorded gated session — the
+    box's known quiet floor. Seeds the gate when SPARK_GRAFT_PROBE_BEST is
+    unset, so a bench session that STARTS inside a contended phase (e.g. an
+    unattended end-of-round run) never accepts its own degraded first probe
+    as the session baseline."""
+    try:
+        with open(SWEEP_FILE) as f:
+            hist = json.load(f)
+    except (ValueError, OSError):
+        return None
+    probes = [p for e in hist for p in e.get("capacity_probes_sec") or []]
+    return min(probes) if probes else None
+
+
+def bw_envelope_probe() -> float:
+    """Fast 2→8-core pinned-memcpy efficiency (~15 s): the box's CURRENT
+    aggregate-DRAM-bandwidth scaling ceiling. The cpu gate's single-thread
+    memcpy tail misses this — one thread still gets fair bandwidth while
+    co-tenants saturate the controller; what collapses is the 8-core
+    AGGREGATE (measured 0.91 in a quiet morning window vs 0.265-0.39 under
+    co-tenant load the same day, while cpu probes read the 1.69 s floor
+    throughout)."""
+    _envelope_level(2, _bw_work, 4)  # warm numpy/allocators
+    lo = min(_envelope_level(2, _bw_work, 8) for _ in range(2))
+    hi = min(_envelope_level(8, _bw_work, 8) for _ in range(2))
+    return round((lo / hi) / 4.0, 3)
+
+
+DRAM_GATE_MIN = float(os.environ.get("SPARK_GRAFT_DRAM_GATE", "0.55"))
+DRAM_GATE_TRIES = int(os.environ.get("SPARK_GRAFT_DRAM_TRIES", "5"))
+
+
+def wait_for_quiet_dram(min_eff: float = DRAM_GATE_MIN,
+                        max_tries: int = DRAM_GATE_TRIES,
+                        sleep_s: int = 45) -> list[float]:
+    """Session-level DRAM gate: hold a scaling session until the box's
+    memcpy envelope recovers to min_eff, or tries exhaust (proceed and
+    record honestly — the per-entry machine_envelope and this probe trail
+    make a bandwidth-contended session readable as such). The 18:31 r3
+    session showed why the cpu gate alone is insufficient: probes at the
+    quiet floor, cpu_eff 1.02, run spread <0.5% — yet envelope 0.356 and
+    raw 0.606 (= 1.7x the envelope)."""
+    seen = [bw_envelope_probe()]
+    while seen[-1] < min_eff and len(seen) <= max_tries:
+        time.sleep(sleep_s)
+        seen.append(bw_envelope_probe())
+    return seen
 
 
 def _record_sweep(entry: dict) -> None:
@@ -390,6 +443,9 @@ def scaling_run(n_pages: int = N_SCALE_PAGES,
         finally:
             gen.stop()
 
+    # session-level DRAM gate (see wait_for_quiet_dram): don't start timing
+    # into a window whose aggregate memory bandwidth a co-tenant owns
+    dram_trail = wait_for_quiet_dram()
     times: dict[int, list] = {lo: [], hi: []}
     probes: list[float] = []
     best_probe: float | None = None
@@ -437,6 +493,7 @@ def scaling_run(n_pages: int = N_SCALE_PAGES,
     out = {"n_pages": n_pages, "levels": [lo, hi],
            f"local{lo}": results[lo], f"local{hi}": results[hi],
            "capacity_probes_sec": probes,
+           "pre_session_bw_eff": dram_trail,
            "efficiency_n_to_4n": round(eff, 3),
            "machine_envelope": env,
            "efficiency_vs_bw_envelope": round(eff / env["bw_eff"], 3)
@@ -446,6 +503,26 @@ def scaling_run(n_pages: int = N_SCALE_PAGES,
                    "pinned": os.environ.get("SPARK_GRAFT_SCALE_PIN",
                                             "0") == "1"})
     return out
+
+
+def _session_envelope_rows() -> list[str]:
+    """One BENCH.md table row per gated session: raw efficiency against
+    that window's own concurrent memcpy envelope (from SCALING_SWEEP.json;
+    sessions predating the envelope measurement are skipped)."""
+    rows = []
+    try:
+        with open(SWEEP_FILE) as f:
+            hist = json.load(f)
+    except (ValueError, OSError):
+        return rows
+    for e in hist:
+        bw = (e.get("machine_envelope") or {}).get("bw_eff")
+        if not bw:
+            continue
+        eff = e["efficiency_n_to_4n"]
+        rows.append(f"| {e.get('ts', '?')} | {e['n_pages'] // 1000}k | "
+                    f"{eff} | {bw} | {round(eff / bw, 2)} |")
+    return rows
 
 
 def write_bench_md(payload: dict) -> None:
@@ -552,6 +629,27 @@ def write_bench_md(payload: dict) -> None:
             "per-level minima across ALL sessions of a size — both levels "
             "at their observed quiet-box floors, so one noisy window "
             "cannot skew the ratio in either direction.",
+            "",
+            "Per-session raw efficiency vs the SAME window's concurrent "
+            "memcpy envelope (every gated session in the history — the "
+            "engine/envelope ratio is the serialization test: a plan with "
+            "a hidden serial stage would scale BELOW its window's "
+            "envelope, not above it):",
+            "",
+            "| session (UTC) | corpus | raw eff | window memcpy envelope "
+            "| raw / envelope |",
+            "|---|---|---|---|---|",
+            *_session_envelope_rows(),
+            "",
+            "The binding constraint flips with the window: in the "
+            "DRAM-quiet window (envelope 0.91) raw hit its 0.788 best — "
+            "fixed driver/commit overhead is the remaining gap — while in "
+            "CPU-quiet/DRAM-contended windows (e.g. 18:31: cpu probes at "
+            "the 1.69 s floor, cpu_eff 1.02, run spread <0.5%, envelope "
+            "0.356) raw tracks bandwidth at 1.7x the envelope. Both "
+            "limits are single-box artifacts: a real 4N cluster amortizes "
+            "the fixed overhead across 100x the corpus AND brings "
+            "per-node DRAM controllers.",
             "",
             "Round-1 reference points at 2→8 (same harness): 480k pages "
             "0.681 raw (= 0.911 of that window's 0.748 memcpy envelope); "
