@@ -628,7 +628,8 @@ class Searcher:
         if include_segments is None:
             include_segments = io.exists("posting_segments")
         if include_segments and io.exists("posting_segments"):
-            seg = self.io.read("posting_segments").drop("segment_id")
+            seg_df = self.io.read("posting_segments")
+            seg = seg_df.drop("segment_id")
             base = io.read("postings") if has_base else None
             self.postings = (base.unionByName(seg) if base is not None
                              else seg)
@@ -643,6 +644,23 @@ class Searcher:
                                     and base_row is not None
                                     and base_row.get("total_dl")
                                     is not None)))
+            if incremental:
+                # Coverage gate: the incremental path is only sound when
+                # EVERY postings segment has its per-segment stats rows. A
+                # legacy segment (appended before segment stats existed) or
+                # a crash between the stats appends and the posting_segments
+                # append (streaming/ingest_stream.py orders stats FIRST, so
+                # the torn shape is a stats-only orphan, which is harmless:
+                # its docs are in `documents`, matching what the legacy
+                # re-aggregation would count) breaks the subset the other
+                # way — summed df/n_docs would silently miss that segment.
+                # The three segment_id scans are column-pruned and tiny.
+                def _seg_ids(table):
+                    return {r[0] for r in io.read(table)
+                            .select("segment_id").distinct().collect()}
+                post_ids = _seg_ids("posting_segments")
+                incremental = (post_ids <= _seg_ids("segment_term_stats")
+                               and post_ids <= _seg_ids("segment_doc_stats"))
             if incremental:
                 # exact global stats by SUMMING the small per-segment stats
                 # tables (written at append time) with the base tables —

@@ -86,7 +86,14 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
                                    n_buckets=n_buckets, positions=positions)
                     .withColumn("segment_id", F.lit(batch_id))
                     .localCheckpoint(eager=True))
-        io.append_atomic(postings, "posting_segments")
+        # Append ORDER matters (the three appends are not atomic together):
+        # stats tables land BEFORE posting_segments, so a crash mid-batch
+        # degrades to a stats-only orphan — consistent with the documents
+        # append above (the orphan docs ARE in `documents`, they just have
+        # no postings yet) — instead of a postings segment whose df/n_docs
+        # the incremental Searcher would silently undercount. The Searcher
+        # additionally verifies segment coverage before trusting the
+        # incremental path (plans/query.py Searcher.__init__).
         io.append_atomic(
             postings.groupBy("term").agg(
                 F.first("bucket").alias("bucket"),
@@ -99,5 +106,6 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
                 [(int(batch_id), n_docs, total_dl)],
                 "segment_id long, n_docs long, total_dl long"),
             "segment_doc_stats")
+        io.append_atomic(postings, "posting_segments")
 
     return handle

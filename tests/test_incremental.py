@@ -83,6 +83,44 @@ def test_segmented_searcher_init_reads_no_postings(spark):
     assert (sx.n_docs, sx.avgdl) == (n_exact, avgdl_exact)
 
 
+def test_legacy_segment_without_stats_falls_back(spark):
+    """A postings segment with NO per-segment stats rows (written by code
+    predating segment stats, or a batch torn after the posting_segments
+    append) must NOT take the incremental-stats path — summed df/n_docs
+    would silently miss it. The coverage gate falls back to the legacy full
+    re-aggregation, and answers still match a from-scratch rebuild."""
+    all_pages = pages_df(spark, n=300, seed=77).cache()
+    base = all_pages.limit(200).cache()
+    rest = all_pages.subtract(base).cache()
+
+    io_inc = TableIO(spark, tempfile.mkdtemp(prefix="isx-legacyseg-"))
+    build_index(spark, base, io_inc, n_shards=4, n_buckets=16)
+    handle = incremental_index_microbatch(io_inc, n_shards=4, n_buckets=16)
+    handle(rest, batch_id=1)
+    # simulate the legacy layout: drop the per-segment stats tables so the
+    # postings segment has no coverage
+    import shutil
+    shutil.rmtree(io_inc._path("segment_term_stats"))
+
+    io_full = TableIO(spark, tempfile.mkdtemp(prefix="isx-legacyfull-"))
+    build_index(spark, all_pages, io_full, n_shards=4, n_buckets=16)
+    assert _results(Searcher(spark, io_inc)) == \
+        _results(Searcher(spark, io_full))
+
+    # partial coverage (stats tables exist but miss a segment) must ALSO
+    # fall back: re-add segment stats for a NEW batch only, leaving batch 1
+    # uncovered — the gate compares distinct segment_id sets
+    more = (all_pages.limit(40)
+            .withColumn("url", F.concat(F.col("url"), F.lit("?v2")))
+            .cache())
+    handle(more, batch_id=2)
+    io_full2 = TableIO(spark, tempfile.mkdtemp(prefix="isx-legacyfull2-"))
+    build_index(spark, all_pages.unionByName(more), io_full2,
+                n_shards=4, n_buckets=16)
+    assert _results(Searcher(spark, io_inc)) == \
+        _results(Searcher(spark, io_full2))
+
+
 def test_resighted_urls_not_reindexed(spark):
     pages = pages_df(spark, n=120, seed=5).cache()
     io = TableIO(spark, tempfile.mkdtemp(prefix="isx-reseen-"))
