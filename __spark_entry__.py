@@ -809,6 +809,99 @@ def q_prefix_search(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+FUZZY_BASE, FUZZY_DIST = "part", 2   # expands to fast/part/sort/spark
+WILDCARD_PATTERN = "*er*"            # leading wildcard → full-vocab scan
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy query through the engine: `part~2` expands against the index
+    vocabulary to the MAX_PREFIX_EXPANSIONS terms nearest by (levenshtein
+    distance, term) — Lucene's FuzzyQuery best-terms rewrite — and scores
+    as ONE OR-group. Reference: OpenSearch query_string fuzzy operator,
+    /root/reference/docs/api.md:4."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, f"{FUZZY_BASE}~{FUZZY_DIST}")],
+                 k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def q_wildcard_search(spark, sf_dir):
+    """General-wildcard query through the engine: `*er*` (leading wildcard
+    → bounded full-vocabulary regex scan, like Lucene with
+    allow_leading_wildcard) expands to the lexicographically-first
+    MAX_PREFIX_EXPANSIONS matches, scored as ONE OR-group. Reference:
+    OpenSearch query_string wildcards, /root/reference/docs/api.md:4."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, WILDCARD_PATTERN)], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def _expansion_oracle_sql(exp_cte: str, k: int) -> str:
+    """Shared DuckDB mirror for expansion-rewrite queries: `exp_cte` picks
+    the expansion set + df exactly like the engine's bounded vocabulary
+    scan; then plain OR-mode BM25 over the expansion terms."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), exp AS (
+  {exp_cte}
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(sum(
+           ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+           (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                    0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ), 6) AS DOUBLE) AS score
+  FROM toks t
+  JOIN exp ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def _fuzzy_oracle_sql(base: str, dist: int, k: int, cap: int) -> str:
+    """Expansion CTE = the engine's fuzzy rewrite: vocabulary terms within
+    edit distance `dist`, ranked (levenshtein, term), capped — DuckDB's
+    levenshtein() is the same unit-cost edit distance as the engine's."""
+    return _expansion_oracle_sql(f"""
+  SELECT term, count(*) AS df FROM toks
+  WHERE levenshtein(term, '{base}') <= {dist}
+  GROUP BY term ORDER BY levenshtein(term, '{base}'), term LIMIT {cap}""", k)
+
+
+def _wildcard_oracle_sql(pattern: str, k: int, cap: int) -> str:
+    """Expansion CTE = the engine's wildcard rewrite: regex-matching
+    vocabulary terms, lexicographically first within the cap."""
+    rx = "^" + pattern.replace("*", ".*").replace("?", ".") + "$"
+    return _expansion_oracle_sql(f"""
+  SELECT term, count(*) AS df FROM toks
+  WHERE regexp_matches(term, '{rx}')
+  GROUP BY term ORDER BY term LIMIT {cap}""", k)
+
+
 def q_filter_tree(spark, sf_dir):
     """Filters as boolean-tree LEAVES (constant-score clauses): `lang:de OR
     merge` — a doc matches via the metadata clause OR the term; term
@@ -1270,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_engine": q_bm25_engine,
         "q_bm25_and": q_bm25_and,
         "q_prefix_search": q_prefix_search,
+        "q_fuzzy_search": q_fuzzy_search,
+        "q_wildcard_search": q_wildcard_search,
         "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
         "q_phrase_search": q_phrase_search,
@@ -1398,6 +1493,10 @@ FROM dl
                                        conj=True),
         "q_prefix_search": _prefix_oracle_sql(
             PREFIX_QUERY, FLAGSHIP_K, _max_prefix_expansions()),
+        "q_fuzzy_search": _fuzzy_oracle_sql(
+            FUZZY_BASE, FUZZY_DIST, FLAGSHIP_K, _max_prefix_expansions()),
+        "q_wildcard_search": _wildcard_oracle_sql(
+            WILDCARD_PATTERN, FLAGSHIP_K, _max_prefix_expansions()),
         "q_filter_tree": _FILTER_TREE_ORACLE,
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(

@@ -16,6 +16,23 @@ Supported grammar (superset of what the reference's own doc examples use):
                   contributions from the matched variants combine under the
                   search's `combine` mode and the group counts ONCE for AND
                   semantics
+  te?m, t*m, *erm general wildcards (Lucene `?` = one char, `*` = any run):
+                  expand to the first MAX_PREFIX_EXPANSIONS vocabulary terms
+                  matching the pattern, in term order — the literal prefix
+                  before the first metachar prunes the vocabulary range scan
+                  (a leading wildcard scans the whole vocabulary, like
+                  Lucene with allow_leading_wildcard); scored as one group
+  term~ / term~1  fuzzy query (Lucene `~`, edit distance ≤ 2/1; `~0` exact):
+                  expands to the MAX_PREFIX_EXPANSIONS vocabulary terms
+                  nearest by (levenshtein distance, term) — Lucene's
+                  FuzzyQuery best-terms rewrite; scored as one group.
+                  (`"a b"~N` phrase SLOP is unsupported — error, since
+                  silently treating it as adjacency would be a different
+                  query)
+  Expansion clauses (prefix/wildcard/fuzzy) compose everywhere a term does:
+  negated (`-te*` excludes docs matching ANY expansion term) and as boolean
+  tree leaves (`(a OR te*) AND b` — the leaf is present for a doc iff any
+  expansion term is)
   "a b"           phrase: terms must appear ADJACENT in analyzed order
                   (positional index required); quoted phrases are required
                   clauses regardless of mode, and their terms also score
@@ -41,19 +58,19 @@ Filters compose two ways:
 - as boolean-tree LEAVES (`lang:de OR merge`, any paren/OR/NOT position):
   constant-score clauses, OpenSearch query_string field-clause semantics.
   A doc matching the tree scores the sum of its present positive term
-  leaves, floored at the constant 1.0 when no positive term matched
-  (filter-only matches rank below real term matches and tie by doc_id).
-  The scorer emits per-doc term-presence bits; the tree compiles to one
-  Catalyst predicate evaluated after the metadata join (plans/query.py
-  _tree_sql).
+  leaves, floored at the constant 1.0 when no positive term matched.
+  NOTE the constant is exactly 1.0 (OpenSearch's constant-score filter
+  clause): a filter-only match can therefore outrank a term match whose
+  BM25 total is below 1.0 (common low-idf terms, long docs) — ties at the
+  constant break by doc_id. The scorer emits per-doc term-presence bits;
+  the tree compiles to one Catalyst predicate evaluated after the metadata
+  join (plans/query.py _tree_sql).
 
 Restrictions (documented, errors not silent semantic changes):
 - a boolean query needs at least one positive clause (pure `NOT x` trees
   match nothing — Lucene behaves the same without an explicit match-all);
-- wildcards: only a single trailing `*` (prefix) is supported, on positive
-  clauses at the top level or inside a flat AND/OR group — `te?m`,
-  mid-token `*`, `-term*` and prefixes nested in boolean trees raise
-  QueryParseError.
+- phrase slop (`"a b"~N`) and fuzzy distances above 2 raise
+  QueryParseError (Lucene also caps edit distance at 2).
 
 A query with ONLY filters (no terms/phrases) is match-all-then-filter:
 every doc passing the filters, constant score, ranked by doc_id.
@@ -92,6 +109,29 @@ class Filter:
     neg: bool = False
 
 
+@dataclass(frozen=True)
+class Expansion:
+    """A multi-term rewrite clause — prefix (`te*`), general wildcard
+    (`te?m`, `t*m`), or fuzzy (`term~1`). Expanded at search time against
+    the index vocabulary (bounded by MAX_PREFIX_EXPANSIONS) and scored as
+    ONE group: contributions of the matched variants combine under the
+    search's `combine` mode and the clause counts once for AND semantics.
+    Frozen/hashable so a batch expands each distinct clause once."""
+
+    kind: str    # 'prefix' | 'wildcard' | 'fuzzy'
+    value: str   # analyzed prefix / lowered pattern (with * ?) / base term
+    dist: int = 0  # fuzzy edit distance (0 = exact)
+
+    @property
+    def key(self) -> str:
+        """Group/boost key — also the leaf key inside boolean trees."""
+        if self.kind == "prefix":
+            return self.value + "*"
+        if self.kind == "fuzzy":
+            return f"{self.value}~{self.dist}"
+        return self.value
+
+
 @dataclass
 class Query:
     terms: list = field(default_factory=list)
@@ -116,8 +156,23 @@ class Query:
     # group key -> boost (^N); missing keys default 1.0
     boosts: dict = field(default_factory=dict)
     # prefix clauses (`te*`): analyzed prefix strings, expanded at search
-    # time against the index vocabulary; boost key is "<prefix>*"
+    # time against the index vocabulary; boost key is "<prefix>*".
+    # (Kept as a convenience view — every entry also appears in
+    # `expansions` as Expansion('prefix', ...), which is what the engine
+    # consumes.)
     prefixes: list = field(default_factory=list)
+    # positive expansion clauses (prefix / wildcard / fuzzy); boost key is
+    # Expansion.key
+    expansions: list = field(default_factory=list)
+    # negated expansion clauses (`-te*`, `-term~`): docs matching ANY
+    # expansion term are excluded
+    not_expansions: list = field(default_factory=list)
+    # expansion leaves inside the boolean tree: leaf key -> Expansion; the
+    # leaf is present for a doc iff any expansion term is
+    bool_expansions: dict = field(default_factory=dict)
+    # bool_expansions keys that occur in POSITIVE tree context (their
+    # expansion terms score); keys only under NOT are presence probes
+    bool_exp_scored: set = field(default_factory=set)
     # filter leaves inside the boolean tree (constant-score clauses, e.g.
     # `lang:de OR merge`): leaf group key -> Filter. Top-level-conjunct
     # filters stay in `filters` (pure constraints, no score).
@@ -216,25 +271,91 @@ def parse_query(q: str, mode: str = "or") -> Query:
         _parse_tree(out, toks, mode)
     out.terms = sorted(set(out.terms))
     out.not_terms = sorted(set(out.not_terms) - set(out.terms))
-    out.prefixes = sorted(set(out.prefixes))
-    out.match_all = (not out.terms and not out.phrases and not out.prefixes
-                     and out.bool_tree is None
+    out.expansions = sorted(set(out.expansions), key=lambda e: e.key)
+    out.not_expansions = sorted(set(out.not_expansions),
+                                key=lambda e: e.key)
+    out.prefixes = sorted(e.value for e in out.expansions
+                          if e.kind == "prefix")
+    out.match_all = (not out.terms and not out.phrases
+                     and not out.expansions and out.bool_tree is None
                      and bool(out.filters or out.not_terms
-                              or out.not_phrases))
+                              or out.not_phrases or out.not_expansions))
     return out
 
 
-def _split_prefix(tok: str) -> tuple[str, bool]:
-    """Strip a single trailing `*` (prefix marker). Any other `*` or a `?`
-    is an unsupported wildcard — error, never a silently different query
-    (the analyzer would strip the metachar and match the literal rest)."""
-    is_prefix = tok.endswith("*") and not tok.startswith('"')
-    body = tok[:-1] if is_prefix else tok
-    if "*" in body or "?" in body.lstrip("-"):
+_FUZZY_RE = re.compile(r"^(.+?)~([0-9.]*)$")
+_WILD_BODY_RE = re.compile(r"^[a-z0-9*?]+$")
+
+
+def _parse_expansion(tok: str) -> Expansion | None:
+    """Classify a (boost-stripped, unquoted, non-negated) token as an
+    expansion clause. Returns None for a plain term; an Expansion with an
+    empty value when the analyzer dropped the whole body (dead clause —
+    callers skip it, like an all-punctuation term); raises QueryParseError
+    on malformed fuzziness/wildcards — never a silently different query."""
+    if tok.startswith('"'):
+        return None
+    m = _FUZZY_RE.match(tok)
+    if m:
+        body, d = m.groups()
+        if d == "":
+            dist = 2  # Lucene query_string default fuzziness
+        elif d in ("0", "1", "2"):
+            dist = int(d)
+        else:
+            raise QueryParseError(
+                f"unsupported fuzziness {d!r} in {tok!r}: edit distance "
+                "must be 0, 1 or 2 (Lucene caps fuzzy queries at 2)")
+        if "*" in body or "?" in body:
+            raise QueryParseError(
+                f"cannot combine wildcard and fuzzy in {tok!r}")
+        terms = _analyze(body)
+        if not terms:
+            return Expansion("fuzzy", "", 0)
+        if len(terms) > 1:
+            raise QueryParseError(
+                f"fuzzy applies to a single term, got {body!r}")
+        return Expansion("fuzzy", terms[0], dist)
+    if "*" not in tok and "?" not in tok:
+        return None
+    # single trailing `*` = prefix (term-sorted range scan); anything else
+    # is a general wildcard pattern
+    if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+        terms = _analyze(tok[:-1])
+        if not terms:
+            return Expansion("prefix", "", 0)  # bare '*' / punctuation
+        if len(terms) > 1:
+            raise QueryParseError(
+                f"prefix wildcard applies to a single term, got {tok!r}")
+        return Expansion("prefix", terms[0], 0)
+    low = tok.lower()
+    if not _WILD_BODY_RE.match(low):
         raise QueryParseError(
-            f"unsupported wildcard in {tok!r}: only a single trailing * "
-            "(prefix query) is supported")
-    return body, is_prefix
+            f"wildcard pattern {tok!r} may contain only [a-z0-9], * and ?")
+    if low.strip("*?") == "":
+        raise QueryParseError(
+            f"wildcard {tok!r} has no literal characters")
+    return Expansion("wildcard", low, 0)
+
+
+def _guard_slop(tok: str) -> None:
+    if tok.startswith("~"):
+        raise QueryParseError(
+            "phrase slop (\"a b\"~N) is not supported — quoted phrases "
+            "match exact adjacency only")
+
+
+def _add_expansion(out: Query, exp: Expansion, neg: bool,
+                   boost: float | None = None) -> None:
+    if not exp.value:
+        return  # analyzer dropped the body — dead clause
+    if neg:
+        out.not_expansions.append(exp)
+        return
+    out.expansions.append(exp)
+    if exp.kind == "prefix":
+        out.prefixes.append(exp.value)
+    _boost_set(out, exp.key, boost)
 
 
 def _parse_flat(out: Query, toks: list[str]) -> None:
@@ -243,6 +364,7 @@ def _parse_flat(out: Query, toks: list[str]) -> None:
     for raw in toks:
         neg = raw.startswith("-") and len(raw) > 1
         tok = raw[1:] if neg else raw
+        _guard_slop(tok)
         if tok.startswith('"') and tok.endswith('"'):
             terms = _analyze(tok[1:-1])
             if not terms:
@@ -255,21 +377,11 @@ def _parse_flat(out: Query, toks: list[str]) -> None:
                 out.phrases.append(terms)
                 out.terms.extend(terms)  # phrase terms also score
             continue
-        tok, is_prefix = _split_prefix(tok)
-        terms = _analyze(tok)
-        if is_prefix:
-            if not terms:
-                continue  # bare '*' / all-punctuation prefix: nothing
-            if neg:
-                raise QueryParseError(
-                    f"negated prefix -{tok}* is not supported")
-            if len(terms) > 1:
-                raise QueryParseError(
-                    f"prefix wildcard applies to a single term, "
-                    f"got {tok!r}")
-            out.prefixes.append(terms[0])
+        exp = _parse_expansion(tok)
+        if exp is not None:
+            _add_expansion(out, exp, neg)
             continue
-        (out.not_terms if neg else out.terms).extend(terms)
+        (out.not_terms if neg else out.terms).extend(_analyze(tok))
 
 
 class _TreeParser:
@@ -368,6 +480,7 @@ class _TreeParser:
         neg = t.startswith("-") and len(t) > 1
         if neg:
             t = t[1:]
+        _guard_slop(t)
         body, boost = _split_boost(t)
         flt = _is_filter_tok(body)
         if flt is not None:
@@ -386,26 +499,20 @@ class _TreeParser:
             else:
                 node = ("phrase", tuple(terms), boost)
         else:
-            body, is_prefix = _split_prefix(body)
-            terms = _analyze(body)
-            if is_prefix:
+            exp = _parse_expansion(body)
+            if exp is not None:
+                node = ("exp", exp, boost) if exp.value else ("empty",)
+            else:
+                terms = _analyze(body)
                 if not terms:
                     node = ("empty",)
-                elif len(terms) > 1:
-                    raise QueryParseError(
-                        f"prefix wildcard applies to a single term, "
-                        f"got {body!r}")
+                elif len(terms) == 1:
+                    node = ("term", terms[0], boost)
                 else:
-                    node = ("prefix", terms[0], boost)
-            elif not terms:
-                node = ("empty",)
-            elif len(terms) == 1:
-                node = ("term", terms[0], boost)
-            else:
-                # one user token analyzing to several terms joins with the
-                # default operator
-                op = "and" if self.mode == "and" else "or"
-                node = (op, *[("term", x, boost) for x in terms])
+                    # one user token analyzing to several terms joins with
+                    # the default operator
+                    op = "and" if self.mode == "and" else "or"
+                    node = (op, *[("term", x, boost) for x in terms])
         return ("not", node) if neg and node != ("empty",) else node
 
 
@@ -424,9 +531,8 @@ def _try_flatten(out: Query, tree) -> bool:
         out.terms.append(tree[1])
         _boost_set(out, tree[1], tree[2])
         return True
-    if kind == "prefix":
-        out.prefixes.append(tree[1])
-        _boost_set(out, tree[1] + "*", tree[2])
+    if kind == "exp":
+        _add_expansion(out, tree[1], False, tree[2])
         return True
     if kind == "phrase":
         out.phrases.append(list(tree[1]))
@@ -446,6 +552,9 @@ def _try_flatten(out: Query, tree) -> bool:
         if c[0] == "phrase":
             out.not_phrases.append(list(c[1]))
             return True
+        if c[0] == "exp":
+            _add_expansion(out, c[1], True)
+            return True
         if c[0] == "filter":
             f = c[1]
             out.filters.append(Filter(f.field, f.op, f.value,
@@ -455,14 +564,14 @@ def _try_flatten(out: Query, tree) -> bool:
     if kind in ("and", "or"):
         kids = tree[1:]
         terms = [k for k in kids if k[0] == "term"]
-        prefixes = [k for k in kids if k[0] == "prefix"]
+        exps = [k for k in kids if k[0] == "exp"]
         phrases = [k for k in kids if k[0] == "phrase"]
         filters = [k for k in kids if k[0] == "filter"]
         negs = [k for k in kids
-                if k[0] == "not" and k[1][0] in ("term", "phrase")]
+                if k[0] == "not" and k[1][0] in ("term", "phrase", "exp")]
         negflts = [k for k in kids
                    if k[0] == "not" and k[1][0] == "filter"]
-        if len(terms) + len(prefixes) + len(phrases) + len(negs) \
+        if len(terms) + len(exps) + len(phrases) + len(negs) \
                 + len(filters) + len(negflts) != len(kids):
             return False
         if kind == "or":
@@ -481,14 +590,13 @@ def _try_flatten(out: Query, tree) -> bool:
                 f = k[1][1]
                 out.filters.append(Filter(f.field, f.op, f.value,
                                           neg=not f.neg))
-            if not terms and not prefixes and not phrases and not negs:
+            if not terms and not exps and not phrases and not negs:
                 return True  # pure filter conjunction → match-all path
         for k in terms:
             out.terms.append(k[1])
             _boost_set(out, k[1], k[2])
-        for k in prefixes:
-            out.prefixes.append(k[1])
-            _boost_set(out, k[1] + "*", k[2])
+        for k in exps:
+            _add_expansion(out, k[1], False, k[2])
         for k in phrases:
             out.phrases.append(list(k[1]))
             out.terms.extend(k[1])
@@ -497,6 +605,8 @@ def _try_flatten(out: Query, tree) -> bool:
         for k in negs:
             if k[1][0] == "term":
                 out.not_terms.append(k[1][1])
+            elif k[1][0] == "exp":
+                _add_expansion(out, k[1][1], True)
             else:
                 out.not_phrases.append(list(k[1][1]))
         return True
@@ -508,12 +618,19 @@ def _encode_tree(out: Query, node, neg_depth: int = 0):
     phrase key), nested ('and'|'or'|'not', ...) lists. Positive-context
     terms score; NOT-context-only terms are presence probes."""
     kind = node[0]
-    if kind == "prefix":
-        # expansion inside an arbitrarily nested tree would need per-index
-        # vocabulary state in the tree encoding — documented restriction
-        raise QueryParseError(
-            f"prefix query {node[1]}* is not supported inside nested "
-            "boolean trees (flat AND/OR groups only)")
+    if kind == "exp":
+        # expansion leaf (prefix/wildcard/fuzzy): the leaf key doubles as
+        # the scorer group key — the engine expands it against the index
+        # vocabulary at search time and the leaf is present for a doc iff
+        # any expansion term is. Expansion keys always carry a metachar
+        # (*, ? or ~), so they can never collide with an analyzed term key.
+        exp = node[1]
+        key = exp.key
+        out.bool_expansions[key] = exp
+        if neg_depth % 2 == 0:
+            out.bool_exp_scored.add(key)
+        _boost_set(out, key, node[2])
+        return key
     if kind == "filter":
         flt = node[1]
         key = (f"flt:{'-' if flt.neg else ''}{flt.field}"

@@ -60,6 +60,7 @@ and boolean-tree queries).
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -69,7 +70,9 @@ from pyspark.sql.types import (
 )
 
 from ipfs_search_spark.catalog import TableIO
-from ipfs_search_spark.plans.parser import Query, filter_to_sql, parse_query
+from ipfs_search_spark.plans.parser import (
+    Expansion, Query, filter_to_sql, parse_query,
+)
 
 CANDIDATE_SCHEMA = StructType([
     StructField("query_id", IntegerType()),
@@ -86,6 +89,32 @@ CANDIDATE_SCHEMA = StructType([
 def idf(n_docs: int, df: int) -> float:
     """Lucene BM25 idf — must stay in python math.log (oracle parity)."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic unit-cost edit distance (insert/delete/substitute) — the
+    same definition as Spark's F.levenshtein and DuckDB's levenshtein(), so
+    the cached driver-side fuzzy expansion, the distributed vocabulary
+    scan, and the SQL oracle pick identical expansion sets."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a [a-z0-9*?] wildcard pattern (parser-validated:
+    alnum-only literals, so no escaping is needed)."""
+    return "^" + pattern.replace("*", ".*").replace("?", ".") + "$"
+
+
+_WILD_LIT_RE = re.compile(r"^[a-z0-9]*")
 
 
 def _match_phrase(pos_data: dict, phrase: list):
@@ -189,8 +218,21 @@ def _tree_sql(node, bool_filters: dict, bitmap: dict, doc_cols,
 
 
 def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
-                 combine: str = "sum", phrase_mode: str | None = None):
+                 combine: str = "sum", phrase_mode: str | None = None,
+                 cogroup: bool = False):
     """Scorer for one (query, shard) group.
+
+    cogroup=True returns a TWO-argument function for
+    groupBy().cogroup().applyInPandas: the right side carries the
+    (query_id, shard, doc_id) rows ALLOWED by the query's conjunct
+    filters (`term lang:de`), pre-routed to the doc's shard
+    (pmod(xxhash64(doc_id), n_shards) — the index's own doc-shard
+    function). A query flagged `flt` restricts to that set IN-SHARD —
+    before θ, the AND/phrase gates and the per-shard top-k cut — so
+    filtered queries keep the cut and block-max pruning ON instead of
+    shipping their full candidate doc set to the rank window (r3 verdict).
+    Exact, not approximate: the allowed set is the filter's true doc set,
+    so this is the semi-join moved inside the scorer.
 
     Rows are (possibly fielded) posting lists: each carries idf, boost,
     avgdl (per-field), and a `group` id — the base query term the row
@@ -211,7 +253,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
               (skipped blocks would lose position data and bias θ).
       'any' — negative path: emit docs satisfying ANY group (the caller
               anti-joins them away); scores are not meaningful."""
-    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score(pdf: pd.DataFrame, allowed=None) -> pd.DataFrame:
         import json as _json
 
         import numpy as np
@@ -384,6 +426,12 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             if excl is not None and solo[0].size:
                 kp = ~np.isin(solo[0], excl)
                 solo = (solo[0][kp], solo[1][kp])
+            if allowed is not None and solo[0].size:
+                # θ must be a lower bound over FILTER-SURVIVING docs only —
+                # an unfiltered θ would over-prune blocks holding allowed
+                # docs that belong in the top-k
+                kp = np.isin(solo[0], allowed)
+                solo = (solo[0][kp], solo[1][kp])
             if solo[1].size >= k:
                 theta = float(np.partition(solo[1], -k)[-k])
 
@@ -470,16 +518,25 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             np.concatenate(([True], seg_ids[1:] != seg_ids[:-1])))
         doc_ids = seg_ids[doc_start]
         doc_scores = np.add.reduceat(seg_scores, doc_start)
-        if excl is not None and doc_ids.size:
-            # negation resolved in-shard: excluded docs leave before the
-            # AND/phrase filters and the per-shard top-k cut (boolean trees
-            # never carry in-scorer negation — the mask handles NOT there)
-            keep_x = ~np.isin(doc_ids, excl)
+        if (excl is not None or allowed is not None) and doc_ids.size:
+            # negation (and the filter-allowed restriction) resolve
+            # in-shard: excluded docs leave before the AND/phrase filters
+            # and the per-shard top-k cut (boolean trees never carry
+            # in-scorer negation — the mask handles NOT there)
+            keep_x = np.ones(doc_ids.size, dtype=bool)
+            if excl is not None:
+                keep_x &= ~np.isin(doc_ids, excl)
+            if allowed is not None:
+                keep_x &= np.isin(doc_ids, allowed)
             doc_ids, doc_scores = doc_ids[keep_x], doc_scores[keep_x]
             if not keep_x.all() and expected > 0:
                 # the (doc,group) segments feed the AND counts — filter them
                 # consistently with the surviving docs
-                seg_keep = ~np.isin(seg_ids, excl)
+                seg_keep = np.ones(seg_ids.size, dtype=bool)
+                if excl is not None:
+                    seg_keep &= ~np.isin(seg_ids, excl)
+                if allowed is not None:
+                    seg_keep &= np.isin(seg_ids, allowed)
                 seg_ids = seg_ids[seg_keep]
                 doc_start = (np.flatnonzero(np.concatenate(
                     ([True], seg_ids[1:] != seg_ids[:-1])))
@@ -529,10 +586,15 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             # Scores stay the sum of matched positive clauses — negated
             # leaves carry idf 0, so they gate matching without scoring.
             seg_groups = grps[seg_idx]
-            rows_idx = np.searchsorted(doc_ids.view(np.uint64),
-                                       seg_ids.view(np.uint64))
+            seg_ids_b = ids[seg_idx]  # pre-filter segments: a seg_id the
+            # allowed-restriction dropped must not alias another doc's row
+            du = doc_ids.view(np.uint64)
+            su = seg_ids_b.view(np.uint64)
+            rows_idx = np.searchsorted(du, su)
+            rows_c = np.minimum(rows_idx, max(doc_ids.size - 1, 0))
+            valid = du[rows_c] == su
             M = np.zeros((doc_ids.size, n_groups), dtype=bool)
-            M[rows_idx, seg_groups] = True
+            M[rows_c[valid], seg_groups[valid]] = True
             ph_pres = {}
             for key, vars_ in bool_spec["phrases"].items():
                 mlist = [_match_phrase(pos_data, var) for var in vars_]
@@ -595,7 +657,29 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             "bits": np.zeros(doc_ids.size, dtype=np.int64),
         })
 
-    return score_shard
+    if not cogroup:
+        # single-argument form (a 2-arg function would receive the group
+        # KEY as its first argument from applyInPandas)
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score(pdf)
+        return score_shard
+
+    def score_cogroup(left: pd.DataFrame, right: pd.DataFrame):
+        import numpy as np
+        if len(left) == 0:
+            # allowed-only (query, shard) group: filtered docs with no
+            # query-term posting here — nothing can score
+            return pd.DataFrame({"query_id": [], "doc_id": [],
+                                 "score": [], "bits": []}
+                                ).astype({"query_id": "int32",
+                                          "doc_id": "int64",
+                                          "score": "float64",
+                                          "bits": "int64"})
+        allowed = None
+        if "flt" in left.columns and bool(left["flt"].iloc[0]):
+            allowed = np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+        return _score(left, allowed)
+    return score_cogroup
 
 
 class Searcher:
@@ -746,6 +830,71 @@ class Searcher:
                 .orderBy("term").limit(cap).collect())
         return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
 
+    def expand(self, exp: Expansion, field: str | None = None,
+               max_expansions: int | None = None) -> dict:
+        """term → (df, bucket) for the vocabulary terms matched by an
+        expansion clause (prefix / general wildcard / fuzzy), capped at
+        `max_expansions` (Lucene's max_expansions rewrite bound).
+
+        Rank order within the cap (deterministic, oracle-mirrorable):
+          prefix/wildcard — lexicographically-first matches;
+          fuzzy — nearest by (levenshtein distance, term), Lucene's
+          FuzzyQuery best-terms rewrite with distance as the similarity.
+
+        `field` prefixes the posting-term namespace of a fielded index
+        ('title:' + term); patterns and distances apply to the BARE term.
+        term_stats is term-sorted on disk, so the uncached paths prune:
+        prefix/wildcard by a StartsWith range scan over the pattern's
+        literal head (a leading metachar scans the whole vocabulary, like
+        Lucene allow_leading_wildcard), fuzzy by a length band before the
+        quadratic edit-distance compare."""
+        cap = max_expansions or self.MAX_PREFIX_EXPANSIONS
+        pre = f"{field}:" if field else ""
+        if exp.kind == "prefix":
+            return self.expand_prefix(pre + exp.value, cap)
+        if exp.kind == "wildcard":
+            lit = _WILD_LIT_RE.match(exp.value).group(0)
+            rx = re.compile("^" + re.escape(pre)
+                            + _wildcard_regex(exp.value)[1:])
+            if self._term_cache is not None:
+                terms = sorted(t for t in self._term_cache
+                               if t.startswith(pre + lit) and rx.match(t)
+                               )[:cap]
+                return {t: self._term_cache[t] for t in terms}
+            rows = (self.term_stats
+                    .filter(F.col("term").startswith(pre + lit) &
+                            F.col("term").rlike(rx.pattern))
+                    .orderBy("term").limit(cap).collect())
+            return {r["term"]: (int(r["df"]), int(r["bucket"]))
+                    for r in rows}
+        # fuzzy: candidates within the length band, ranked (distance, term)
+        base, dist = exp.value, exp.dist
+        lo, hi = len(base) - dist, len(base) + dist
+        if self._term_cache is not None:
+            cand = []
+            for t in self._term_cache:
+                bare = t[len(pre):] if pre else t
+                if pre and not t.startswith(pre):
+                    continue
+                if not lo <= len(bare) <= hi:
+                    continue
+                d = levenshtein(bare, base)
+                if d <= dist:
+                    cand.append((d, t))
+            cand.sort()
+            return {t: self._term_cache[t] for _, t in cand[:cap]}
+        bare_col = (F.col("term").substr(F.lit(len(pre) + 1),
+                                         F.length("term"))
+                    if pre else F.col("term"))
+        df = self.term_stats
+        if pre:
+            df = df.filter(F.col("term").startswith(pre))
+        rows = (df.filter(F.length(bare_col).between(lo, hi))
+                .withColumn("_d", F.levenshtein(bare_col, F.lit(base)))
+                .filter(F.col("_d") <= dist)
+                .orderBy("_d", "term").limit(cap).collect())
+        return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
+
     def field_stats(self) -> dict:
         """Per-field (n_docs, avgdl) for fielded indexes (field_stats table
         written by build_fielded_index); {} for single-field indexes."""
@@ -813,13 +962,15 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     base_terms = sorted({t for p in parsed.values()
                          for t in (p.terms + p.not_terms + p.bool_neg_terms +
                                    [t for ph in p.not_phrases for t in ph])})
-    all_prefixes = sorted({pf for p in parsed.values() for pf in p.prefixes})
+    all_exps = {e for p in parsed.values()
+                for e in (list(p.expansions) + list(p.not_expansions)
+                          + list(p.bool_expansions.values()))}
     # boolean trees with filter leaves (constant-score clauses): candidate
     # generation below, final tree evaluation JVM-side after the metadata
     # join — their candidates exist even when no term leaf is live
     ft_qids = sorted(qid for qid, p in parsed.items()
                      if p.bool_filters and p.bool_tree is not None)
-    if not base_terms and not matchall_qids and not all_prefixes \
+    if not base_terms and not matchall_qids and not all_exps \
             and not ft_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
@@ -838,20 +989,33 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         def variants(t):
             return [(None, t)] if t in tstats else []
 
-    # prefix clauses expand ONCE per batch against the index vocabulary
-    # (per field on fielded indexes): prefix → sorted posting-term keys,
+    # expansion clauses (prefix / wildcard / fuzzy) expand ONCE per batch
+    # against the index vocabulary: clause key → sorted posting-term keys,
     # each carried as a scoring row of the SAME group so the variants
-    # combine under `combine` and the clause counts once for AND
-    prefix_exp: dict[str, list] = {}
-    for pf in all_prefixes:
+    # combine under `combine` and the clause counts once for AND. On
+    # fielded indexes the clause expands per field and the UNION is capped
+    # at MAX_PREFIX_EXPANSIONS, ranked by the bare term (fuzzy: by
+    # (distance, bare term)) — Lucene's max_expansions bounds the whole
+    # rewrite, not each field (r3 ADVICE).
+    exp_terms: dict[str, list] = {}
+    for e in sorted(all_exps, key=lambda x: x.key):
         if fields:
-            exp: dict = {}
+            cand: dict = {}
             for fld in sorted(fields):
-                exp.update(sx.expand_prefix(f"{fld}:{pf}"))
+                cand.update(sx.expand(e, field=fld))
+            if e.kind == "fuzzy":
+                def _rk(t):
+                    bare = t.split(":", 1)[1]
+                    return (levenshtein(bare, e.value), bare, t)
+            else:
+                def _rk(t):
+                    return (t.split(":", 1)[1], t)
+            top = sorted(cand, key=_rk)[:sx.MAX_PREFIX_EXPANSIONS]
+            exp = {t: cand[t] for t in top}
         else:
-            exp = sx.expand_prefix(pf)
+            exp = sx.expand(e)
         tstats.update(exp)
-        prefix_exp[pf] = sorted(exp)
+        exp_terms[e.key] = sorted(exp)
 
     # qterms: one row per (query, fielded term). group = the base query term;
     # n_groups = the query's matching base-term count (AND semantics);
@@ -886,14 +1050,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         ka = 1 if (p.filters or p.bool_filters) else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
-        live_prefixes = [pf for pf in p.prefixes if prefix_exp.get(pf)]
+        live_exps = [e for e in p.expansions if exp_terms.get(e.key)]
         # AND semantics: a term absent from the whole index matches nothing
-        # (likewise a prefix with zero expansions), so the conjunction is
-        # empty — don't silently drop the clause (boolean trees handle
-        # absent terms as always-false leaves instead)
+        # (likewise an expansion clause with zero vocabulary matches), so
+        # the conjunction is empty — don't silently drop the clause
+        # (boolean trees handle absent terms as always-false leaves instead)
         if p.bool_tree is None and p.mode == "and" and not p.match_all \
                 and (len(pos) < len(p.terms)
-                     or len(live_prefixes) < len(p.prefixes)):
+                     or len(live_exps) < len(p.expansions)):
             continue
         # quoted phrases are required clauses: a group with no live variant
         # (a term absent from every field's vocabulary) cannot match, so the
@@ -920,26 +1084,39 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 bitmaps[qid] = spec["bitmap"]
             bool_json = _json.dumps(spec)
         # per-query AND-required count; 0 = OR / boolean-tree semantics
-        # (a prefix clause counts as ONE group however many terms it
+        # (an expansion clause counts as ONE group however many terms it
         # expanded to)
-        n_grp = (len(pos) + len(live_prefixes)
+        n_grp = (len(pos) + len(live_exps)
                  if (p.mode == "and" and p.bool_tree is None
                      and not p.match_all) else 0)
+
+        def _exp_rows(e, gkey, scored):
+            """Scoring rows of one expansion clause: every vocabulary match
+            as a variant of group `gkey`. scored=False (a tree leaf seen
+            only under NOT) fetches at idf 0 — presence probe, no score."""
+            boost_e = float(p.boosts.get(gkey, 1.0))
+            for ft in exp_terms[gkey] if gkey in exp_terms else []:
+                if fields:
+                    fld = ft.split(":", 1)[0]
+                    nf, af = fstats[fld]
+                    t_idf = idf(nf, tstats[ft][0]) if scored else 0.0
+                    b = float(fields[fld]) * boost_e
+                else:
+                    t_idf = idf(n_docs, tstats[ft][0]) if scored else 0.0
+                    b, af = boost_e, avgdl
+                qterm_rows.append((qid, ft, t_idf, "pos", b, gkey, af,
+                                   n_grp, phrase_json, bool_json, ka))
+
         if not p.match_all:
-            for pf in live_prefixes:
-                gkey = pf + "*"
-                boost_pf = float(p.boosts.get(gkey, 1.0))
-                for ft in prefix_exp[pf]:
-                    if fields:
-                        fld = ft.split(":", 1)[0]
-                        nf, af = fstats[fld]
-                        t_idf = idf(nf, tstats[ft][0])
-                        b = float(fields[fld]) * boost_pf
-                    else:
-                        t_idf, b, af = (idf(n_docs, tstats[ft][0]),
-                                        boost_pf, avgdl)
-                    qterm_rows.append((qid, ft, t_idf, "pos", b, gkey, af,
-                                       n_grp, phrase_json, bool_json, ka))
+            for e in live_exps:
+                _exp_rows(e, e.key, True)
+            if p.bool_tree is not None:
+                # expansion leaves inside the tree: the leaf key is the
+                # scorer group key, so presence M[:,g] is true iff ANY
+                # expansion term matched — OR-of-variants leaf semantics
+                for key in sorted(p.bool_expansions):
+                    _exp_rows(p.bool_expansions[key], key,
+                              key in p.bool_exp_scored)
             for t in pos:
                 for fld, ft in variants(t):
                     if fld is None:
@@ -972,6 +1149,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 qterm_rows.append((qid, ft, 0.0, kn, 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
                                    0, "", "", ka))
+        # negated expansions (`-te*`, `-term~1`): docs matching ANY
+        # expansion term are excluded — each term rides as its own negative
+        # row (in-shard for scoring queries, external probe for match-all)
+        for ft in sorted({t for e in p.not_expansions
+                          for t in exp_terms.get(e.key, [])}):
+            av = fstats[ft.split(":", 1)[0]][1] if fields else avgdl
+            qterm_rows.append((qid, ft, 0.0, kn, 1.0, ft, av,
+                               0, "", "", ka))
         for ft in sorted({t for g in live_np for var in g for t in var}):
             # variants already carry posting-term keys (fielded or bare)
             qterm_rows.append((qid, ft, 0.0, knp, 1.0, ft, avgdl,
@@ -983,7 +1168,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     has_filters = any(p.filters for p in parsed.values())
     # external anti-join only for match-all queries (scoring queries handle
     # negation in-scorer and keep their top-k cuts)
-    has_ext_neg = any(p.match_all and (p.not_terms or p.not_phrases)
+    has_ext_neg = any(p.match_all and (p.not_terms or p.not_phrases
+                                       or p.not_expansions)
                       for p in parsed.values())
 
     candidates = None
@@ -1107,7 +1293,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                        F.col("doc_id").cast("long").alias("doc_id"),
                        F.lit(1.0).alias("score"),
                        F.lit(0).cast("long").alias("bits"))
-        if (p.not_terms or p.not_phrases) and neg_union is not None:
+        if (p.not_terms or p.not_phrases or p.not_expansions) \
+                and neg_union is not None:
             sel = sel.join(neg_union.filter(F.col("query_id") == qid),
                            ["query_id", "doc_id"], "left_anti")
         sel = sel.orderBy("doc_id").limit(k_page)

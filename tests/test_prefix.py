@@ -9,7 +9,9 @@ its expansion terms, and in AND mode the clause counts once.
 
 import pytest
 
-from ipfs_search_spark.plans.parser import QueryParseError, parse_query
+from ipfs_search_spark.plans.parser import (
+    Expansion, QueryParseError, parse_query,
+)
 from ipfs_search_spark.plans.query import Searcher
 
 
@@ -33,15 +35,39 @@ def test_parse_prefix_boost_and_flat_or_group():
     assert q.boosts["merch*"] == 2.5
 
 
-def test_parse_prefix_rejects_other_wildcards():
-    for bad in ["te?m", "mid*dle", "*lead", "-pre*"]:
+def test_parse_general_wildcards_and_negated_prefix():
+    # r3: general wildcards, fuzzy, negation and tree leaves are supported
+    q = parse_query("te?m")
+    assert [e.kind for e in q.expansions] == ["wildcard"]
+    q = parse_query("mid*dle")
+    assert [e.value for e in q.expansions] == ["mid*dle"]
+    q = parse_query("*lead")
+    assert [e.kind for e in q.expansions] == ["wildcard"]
+    q = parse_query("-pre* foo")
+    assert [e.value for e in q.not_expansions] == ["pre"]
+    assert q.terms == ["foo"]
+
+
+def test_parse_prefix_nested_tree_leaf():
+    q = parse_query("(a OR (b AND merch*))")
+    assert "merch*" in q.bool_expansions
+    assert q.bool_expansions["merch*"].kind == "prefix"
+    assert "merch*" in q.bool_exp_scored
+
+
+def test_parse_malformed_wildcard_fuzzy_rejected():
+    for bad in ['"a b"~2', "term~3", "te*m~1", "***", "a%b*c"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
 
 
-def test_parse_prefix_rejects_nested_tree():
-    with pytest.raises(QueryParseError):
-        parse_query("(a OR (b AND merch*))")
+def test_parse_fuzzy():
+    q = parse_query("merge~1")
+    assert [(e.kind, e.value, e.dist) for e in q.expansions] == \
+        [("fuzzy", "merge", 1)]
+    assert q.expansions[0].key == "merge~1"
+    # bare ~ defaults to Lucene's edit distance 2
+    assert parse_query("merge~").expansions[0].dist == 2
 
 
 def test_parse_stray_minus_dropped():
@@ -138,6 +164,117 @@ def test_prefix_with_filter(spark, sx, prefix_and_exp):
     pf, exp = prefix_and_exp
     got = _rows(sx.search([(0, f"{pf}* lang:de")], k=10))
     want = _rows(sx.search([(0, f"{' '.join(exp)} lang:de")], k=10))
+    assert got == want and got
+
+
+# ------------------------------------------------- wildcard/fuzzy engine
+
+def test_expand_wildcard_matches_regex(sx):
+    """General wildcards expand to exactly the vocabulary's regex matches,
+    lexicographically-first within the cap; the literal head prunes."""
+    import re
+    exp = sx.expand(Expansion("wildcard", "dat?"))
+    vocab = sx._term_cache
+    want = sorted(t for t in vocab if re.fullmatch(r"dat.", t))[:50]
+    assert sorted(exp) == want and "data" in exp
+    # leading wildcard (full vocabulary scan, allow_leading_wildcard)
+    exp2 = sx.expand(Expansion("wildcard", "*ta1"))
+    assert sorted(exp2) == sorted(
+        t for t in vocab if re.fullmatch(r".*ta1", t))[:50]
+
+
+def test_expand_fuzzy_distance_ranked(sx):
+    exp = sx.expand(Expansion("fuzzy", "merge", 1))
+    vocab = sx._term_cache
+    from ipfs_search_spark.plans.query import levenshtein
+    want = sorted((levenshtein(t, "merge"), t) for t in vocab
+                  if levenshtein(t, "merge") <= 1)[:50]
+    assert sorted(exp) == sorted(t for _, t in want)
+    assert "merge" in exp
+    # distance 0 = the exact term only
+    assert sorted(sx.expand(Expansion("fuzzy", "merge", 0))) == ["merge"]
+
+
+def test_expand_uncached_matches_cached_wildcard_fuzzy(spark, built_index):
+    io, _ = built_index
+    hot = Searcher(spark, io, cache_terms=True)
+    cold = Searcher(spark, io, cache_terms=False)
+    for e in [Expansion("wildcard", "dat?"), Expansion("wildcard", "*ta1"),
+              Expansion("fuzzy", "merge", 1),
+              Expansion("fuzzy", "spark", 2)]:
+        assert hot.expand(e) == cold.expand(e), e
+
+
+def test_wildcard_query_equals_expanded_or(sx):
+    exp = sorted(sx.expand(Expansion("wildcard", "data?")))
+    assert len(exp) >= 2
+    got = _rows(sx.search([(0, "data?")], k=15))
+    want = _rows(sx.search([(0, " ".join(exp))], k=15))
+    assert got == want and got
+
+
+def test_fuzzy_query_equals_expanded_or(sx):
+    exp = sorted(sx.expand(Expansion("fuzzy", "merge", 1)))
+    assert len(exp) >= 2
+    got = _rows(sx.search([(0, "merge~1")], k=15))
+    want = _rows(sx.search([(0, " ".join(exp))], k=15))
+    assert got == want and got
+
+
+def test_negated_prefix_excludes_expansions(sx):
+    """`spark -merge*` must equal `spark -e1 -e2 ...` over the expansion."""
+    exp = sorted(sx.expand_prefix("merge"))
+    got = _rows(sx.search([(0, "spark -merge*")], k=15))
+    want = _rows(sx.search(
+        [(0, "spark " + " ".join(f"-{t}" for t in exp))], k=15))
+    assert got == want and got
+
+
+def test_negated_prefix_matchall(sx):
+    """Filter-only query with a negated expansion: match-all minus the
+    expansion's doc set."""
+    got = {r["doc_id"] for r in
+           sx.search([(0, "lang:de -dat*")], k=500).collect()}
+    exp = sorted(sx.expand_prefix("dat"))
+    want = {r["doc_id"] for r in
+            sx.search([(0, "lang:de " + " ".join(f"-{t}" for t in exp))],
+                      k=500).collect()}
+    assert got == want and got
+
+
+def test_prefix_inside_boolean_tree(sx):
+    """`(spark AND dat*) OR merge` — expansion leaf in a nested tree: leaf
+    present iff any expansion term present, scored as the group."""
+    exp = sorted(sx.expand_prefix("dat"))
+    got = _rows(sx.search([(0, "(spark AND dat*) OR merge")], k=15))
+    want = _rows(sx.search(
+        [(0, f"(spark AND ({' OR '.join(exp)})) OR merge")], k=15))
+    assert got == want and got
+
+
+def test_negated_prefix_inside_boolean_tree(sx):
+    exp = sorted(sx.expand_prefix("delta"))
+    got = _rows(sx.search([(0, "spark AND NOT (delta* OR merge)")], k=15))
+    want = _rows(sx.search(
+        [(0, f"spark AND NOT (({' OR '.join(exp)}) OR merge)")], k=15))
+    assert got == want and got
+
+
+def test_prefix_with_filter_leaf_in_or_group(sx):
+    """`dat* OR lang:de` — expansion + filter leaf in one OR group (the r3
+    ADVICE composition gap): tree path, filter-leaf branch."""
+    exp = sorted(sx.expand_prefix("dat"))
+    got = _rows(sx.search([(0, "dat* OR lang:de")], k=15))
+    want = _rows(sx.search(
+        [(0, f"({' OR '.join(exp)}) OR lang:de")], k=15))
+    assert got == want and got
+
+
+def test_fuzzy_and_mode_counts_once(sx):
+    exp = sorted(sx.expand(Expansion("fuzzy", "merge", 1)))
+    got = _rows(sx.search([(0, "spark merge~1")], k=15, mode="and"))
+    want = _rows(sx.search(
+        [(0, f"({' OR '.join(exp)}) AND spark")], k=15))
     assert got == want and got
 
 
