@@ -792,6 +792,12 @@ class Searcher:
         if srow is None and io.exists("index_stats"):
             srow = io.read("index_stats").collect()[0].asDict()
         self.positional = bool((srow or {}).get("positional", False))
+        # the index's doc→shard function parameter: lets the query side
+        # route per-doc rows (the filter-allowed set) to the shard that
+        # holds the doc's postings. None on legacy stats-less layouts —
+        # filtered queries then fall back to the external semi-join.
+        ns = (srow or {}).get("n_shards")
+        self.n_shards = int(ns) if ns else None
         self._term_cache: dict | None = None
         if cache_terms is None:
             cache_terms = self.term_stats.count() <= self.TERM_CACHE_MAX
@@ -1040,14 +1046,33 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             groups.append(vars_)
         return groups
 
+    # Conjunct-filter specs for SCORING queries: the allowed doc set of
+    # each query's filters, routed to the doc's shard and cogrouped into
+    # the scorer, so the restriction (and therefore the per-shard top-k
+    # cut and block-max pruning) happens IN-SHARD — a filtered query no
+    # longer ships its full candidate set to the rank window (r3 verdict).
+    # pred == 'true' (filters that drop on this schema) means unfiltered;
+    # pred is None (filters that cannot match) means nothing allowed.
+    docs = sx.documents
+    flt_specs: dict[int, str | None] = {}
+    for qid, p in parsed.items():
+        if p.match_all or not p.filters:
+            continue
+        pr = _filters_pred(p, docs.columns)
+        if pr != "true":
+            flt_specs[qid] = pr
+    cg = bool(flt_specs) and sx.n_shards is not None
+
     qterm_rows = []
     bitmaps: dict[int, dict] = {}
     for qid, p in parsed.items():
-        # per-query keep_all flag: this query's filters apply post-scoring,
-        # so ITS per-shard cut must stay off — without punishing the other
-        # queries in the batch (filter-leaf trees likewise: their tree is
-        # decided after the metadata join, so no pre-tree cut is sound)
-        ka = 1 if (p.filters or p.bool_filters) else 0
+        # per-query keep_all flag: a filter-LEAF tree is decided after the
+        # metadata join, so no pre-tree cut is sound for it. (Plain
+        # conjunct filters no longer need keep_all — their allowed set is
+        # enforced in-shard via the cogroup, except on legacy stats-less
+        # layouts where the doc→shard route is unknown.)
+        ka = 1 if (p.bool_filters or (p.filters and not cg)) else 0
+        fl = 1 if (cg and qid in flt_specs) else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
         live_exps = [e for e in p.expansions if exp_terms.get(e.key)]
@@ -1105,7 +1130,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                     t_idf = idf(n_docs, tstats[ft][0]) if scored else 0.0
                     b, af = boost_e, avgdl
                 qterm_rows.append((qid, ft, t_idf, "pos", b, gkey, af,
-                                   n_grp, phrase_json, bool_json, ka))
+                                   n_grp, phrase_json, bool_json, ka, fl))
 
         if not p.match_all:
             for e in live_exps:
@@ -1128,7 +1153,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                                             float(fields[fld]), af)
                     boost *= float(p.boosts.get(t, 1.0))  # ^boost on idf
                     qterm_rows.append((qid, ft, t_idf, "pos", boost, t, av,
-                                       n_grp, phrase_json, bool_json, ka))
+                                       n_grp, phrase_json, bool_json, ka, fl))
             if p.bool_tree is not None:
                 # NOT-context-only leaves: fetched for presence bits, idf 0
                 # so they never contribute score
@@ -1137,7 +1162,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                         av = avgdl if fld is None else fstats[fld][1]
                         qterm_rows.append((qid, ft, 0.0, "pos", 1.0, t, av,
                                            n_grp, phrase_json, bool_json,
-                                           ka))
+                                           ka, fl))
         # match-all queries resolve negation externally (their candidates
         # come from the documents scan, not the scorer); scoring queries
         # resolve it IN-SHARD ('negs'/'negps' rows ride the same pandas
@@ -1148,7 +1173,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             for fld, ft in variants(t):
                 qterm_rows.append((qid, ft, 0.0, kn, 1.0, t,
                                    avgdl if fld is None else fstats[fld][1],
-                                   0, "", "", ka))
+                                   0, "", "", ka, fl))
         # negated expansions (`-te*`, `-term~1`): docs matching ANY
         # expansion term are excluded — each term rides as its own negative
         # row (in-shard for scoring queries, external probe for match-all)
@@ -1156,11 +1181,11 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                           for t in exp_terms.get(e.key, [])}):
             av = fstats[ft.split(":", 1)[0]][1] if fields else avgdl
             qterm_rows.append((qid, ft, 0.0, kn, 1.0, ft, av,
-                               0, "", "", ka))
+                               0, "", "", ka, fl))
         for ft in sorted({t for g in live_np for var in g for t in var}):
             # variants already carry posting-term keys (fielded or bare)
             qterm_rows.append((qid, ft, 0.0, knp, 1.0, ft, avgdl,
-                               0, negp_json, "", ka))
+                               0, negp_json, "", ka, fl))
     if not qterm_rows and not matchall_qids and not ft_qids:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, url string, score double")
@@ -1182,7 +1207,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             qterm_rows,
             "query_id int, term string, idf double, kind string, "
             "boost double, group string, avgdl double, n_groups int, "
-            "phrase_json string, bool_json string, keep_all int")
+            "phrase_json string, bool_json string, keep_all int, flt int")
         postings = (sx.postings
                     .filter(F.col("bucket").isin(buckets) &
                             F.col("term").isin(live_terms)))
@@ -1191,10 +1216,41 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         pos_probe = probe.filter(
             F.col("kind").isin(["pos", "negs", "negps"]))
         # keep_all=False: the qterms keep_all column carries the PER-QUERY
-        # flag, so only filter-bearing queries skip their per-shard cut
-        candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
-            _make_scorer(k_page, mode, prune, False, combine,
-                         phrase_mode="all"), CANDIDATE_SCHEMA)
+        # flag, so only filter-leaf-tree queries skip their per-shard cut
+        if cg:
+            # ONE pruned documents scan serves every filtered query in the
+            # batch (r3 verdict: Q filtered queries used to plan Q scans):
+            # the OR of all live predicates pushes down, then each doc
+            # explodes to the query_ids whose predicate it satisfies, and
+            # the row routes to the doc's postings shard.
+            live = {q: pr for q, pr in flt_specs.items() if pr is not None}
+            if live:
+                qcols = [F.when(F.expr(pr), F.lit(q).cast("int"))
+                         for q, pr in live.items()]
+                any_pred = " OR ".join(f"({pr})" for pr in live.values())
+                allowed_df = (
+                    docs.filter(F.expr(any_pred))
+                    .select(F.col("doc_id"),
+                            F.explode(F.array(*qcols)).alias("query_id"))
+                    .filter(F.col("query_id").isNotNull())
+                    .withColumn("shard",
+                                F.pmod(F.xxhash64("doc_id"),
+                                       F.lit(sx.n_shards)).cast("int"))
+                    .select("query_id", "shard",
+                            F.col("doc_id").cast("long").alias("doc_id")))
+            else:  # every filtered query's predicate is unsatisfiable
+                allowed_df = spark.createDataFrame(
+                    [], "query_id int, shard int, doc_id long")
+            candidates = pos_probe.groupBy("query_id", "shard").cogroup(
+                allowed_df.groupBy("query_id", "shard")
+            ).applyInPandas(
+                _make_scorer(k_page, mode, prune, False, combine,
+                             phrase_mode="all", cogroup=True),
+                CANDIDATE_SCHEMA)
+        else:
+            candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
+                _make_scorer(k_page, mode, prune, False, combine,
+                             phrase_mode="all"), CANDIDATE_SCHEMA)
 
     # match-all negation probes (the excluded doc sets) are built up front
     # so the per-query loop below can anti-join BEFORE its top-k cut
@@ -1213,7 +1269,6 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         ).select("query_id", "doc_id")
         neg_union = neg_docs.unionByName(negp_docs)
 
-    docs = sx.documents
     # Boolean trees with filter leaves: the scorer emitted per-doc presence
     # bits for the term/phrase leaves; evaluate the FULL tree here, where
     # the metadata the filter leaves need is joinable. Two branches per
@@ -1300,8 +1355,11 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         sel = sel.orderBy("doc_id").limit(k_page)
         candidates = sel if candidates is None else candidates.unionByName(sel)
 
-    if has_filters:
-        # the allowed-doc semi-join restricts only the queries that HAVE
+    if has_filters and not cg:
+        # legacy fallback (stats-less layouts only): external semi-join
+        # against per-query allowed branches. The primary path enforces
+        # conjunct filters in-shard via the cogroup above.
+        # The semi-join restricts only the queries that HAVE
         # filters; unfiltered queries bypass it entirely (no all-docs
         # allowed branch scanning the documents table per unfiltered query)
         flt_qids = [qid for qid, p in parsed.items() if p.filters]

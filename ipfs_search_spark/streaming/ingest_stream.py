@@ -66,6 +66,19 @@ def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if io.exists("index_stats"):
+            # segments MUST share the base index's layout parameters: the
+            # query side routes per-doc rows (filter-allowed sets) by
+            # pmod(xxhash64(doc_id), n_shards), which is only exact when
+            # every postings row — base or segment — used the same S
+            st = io.read("index_stats").collect()[0].asDict()
+            if (int(st["n_shards"]) != int(n_shards)
+                    or int(st["n_buckets"]) != int(n_buckets)):
+                raise ValueError(
+                    f"segment layout mismatch: base index has "
+                    f"n_shards={st['n_shards']}, n_buckets="
+                    f"{st['n_buckets']}; microbatch configured "
+                    f"({n_shards}, {n_buckets})")
         docs = canonical_documents(batch_df, extract=False)
         # new-item path (J2): only urls absent from the state enter the
         # segment — re-sightings of known docs are updates, not re-indexes

@@ -130,6 +130,66 @@ def test_matchall_negation_is_bounded(spark, built_index):
     assert got == expected
 
 
+def test_filtered_query_cut_stays_on_in_shard():
+    """A `term lang:de` query's (query, shard) scorer group emits at most
+    k rows: the filter-allowed doc set rides the cogroup into the scorer,
+    the restriction happens in-shard, and the per-shard top-k cut stays ON
+    (r3 verdict: filtered queries used to ship their full candidate set)."""
+    import numpy as np
+    import pandas as pd
+
+    from ipfs_search_spark.functions.codec import encode_blocks
+    from ipfs_search_spark.plans.query import _make_scorer
+
+    ids = np.arange(100, dtype=np.int64)
+    blocks = encode_blocks(ids, np.full(100, 2, np.int64),
+                           np.full(100, 50, np.int64), block_size=128)
+    left = pd.DataFrame({
+        "query_id": [0], "term": ["t"], "idf": [1.0], "kind": ["pos"],
+        "boost": [1.0], "group": ["t"], "avgdl": [50.0], "n_groups": [0],
+        "phrase_json": [""], "bool_json": [""], "blocks": [blocks],
+        "shard": [0], "keep_all": [0], "flt": [1]})
+    allowed = pd.DataFrame({"query_id": [0] * 40, "shard": [0] * 40,
+                            "doc_id": np.arange(30, 70, dtype=np.int64)})
+    scorer = _make_scorer(10, "or", True, False, "sum",
+                          phrase_mode="all", cogroup=True)
+    out = scorer(left, allowed)
+    assert len(out) == 10  # cut ON despite the filter
+    assert set(out["doc_id"]) <= set(range(30, 70))  # in-shard restriction
+    # empty allowed side → the filter matches nothing in this shard
+    empty = allowed.iloc[0:0]
+    assert len(scorer(left, empty)) == 0
+    # unfiltered query in the same cogroup: right side ignored
+    left0 = left.assign(flt=[0])
+    out0 = scorer(left0, empty)
+    assert len(out0) == 10 and not set(out0["doc_id"]) <= set(range(30, 70))
+
+
+def test_filtered_batch_plans_one_documents_scan(spark, built_index):
+    """A batch of 10 filtered queries plans ONE documents scan for the
+    allowed sets (plus the display-field join's scan) — not one scan per
+    filtered query (r3 verdict #3)."""
+    import re
+
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    terms = ["data", "spark", "merge", "block", "scan",
+             "data", "spark", "merge", "block", "scan"]
+    langs = ["en", "de", "fr"] * 4
+    batch = [(i, f"{t} lang:{lc}")
+             for i, (t, lc) in enumerate(zip(terms, langs))]
+    df = search(spark, io, batch, k=5)
+    plan = _plan(df)
+    n_doc_scans = len(re.findall(r"Location.*documents", plan))
+    assert n_doc_scans == 2, f"expected 2 documents scans, got {n_doc_scans}"
+    assert "FlatMapCoGroupsInPandas" in plan
+    # results still exact: spot-check one query against the solo run
+    got = [tuple(r) for r in df.collect() if r["query_id"] == 3]
+    solo = [tuple(r) for r in
+            search(spark, io, [(3, "block lang:en")], k=5).collect()]
+    assert got == solo and got
+
+
 def test_extract_is_arrow_batched(spark, pages):
     """Extraction must run as ArrowEvalPython (pandas UDF), never
     BatchEvalPython (row-at-a-time pickling)."""
