@@ -14,6 +14,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1263,25 +1264,50 @@ def q_recency_filter(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing: blobs with planted jpeg/png headers (by
-    doc_id mod 3) run through the mapInPandas decoder (deterministic fake —
-    format sniff + byte arithmetic, operators/multimodal.py:37-47); the
-    DuckDB oracle mirrors the same blob construction and sniff byte-for-byte
-    so the Python decode path is value-checked, not just rows-counted."""
+    """Binary-column plumbing with REAL header decode: blobs carry genuine
+    jpeg (SOI + APP0 + SOF0 frame header) or png (signature + IHDR chunk)
+    headers with dimensions derived deterministically from doc_id; the
+    mapInPandas decoder (operators/multimodal.py header_decode) parses the
+    width/height back out of the big-endian header bytes — no codec
+    library, no fake. The DuckDB oracle knows the construction formulas,
+    so a mis-parsed endianness/offset breaks the value hash."""
+    from pyspark.sql.types import BinaryType
+
     from ipfs_search_spark.operators.multimodal import decode_image_meta
+
     docs = _t(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "utf-8")
-    blob = (F.when(F.col("doc_id") % 3 == 0,
-                   F.concat(F.lit(b"\xff\xd8"), payload))
-            .when(F.col("doc_id") % 3 == 1,
-                  F.concat(F.lit(b"\x89PNG"), payload))
-            .otherwise(payload))
+
+    @F.pandas_udf(BinaryType())
+    def mk_blob(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            payload = str(t).encode("utf-8")
+            w, h = i % 999 + 1, i % 499 + 1
+            if i % 3 == 0:  # real JPEG: SOI, APP0/JFIF, SOF0 baseline
+                app0 = (b"\xff\xe0" + (16).to_bytes(2, "big") +
+                        b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+                sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08" +
+                        h.to_bytes(2, "big") + w.to_bytes(2, "big") +
+                        b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+                out.append(b"\xff\xd8" + app0 + sof0 + payload)
+            elif i % 3 == 1:  # real PNG: signature + IHDR
+                ihdr = ((13).to_bytes(4, "big") + b"IHDR" +
+                        w.to_bytes(4, "big") + h.to_bytes(4, "big") +
+                        b"\x08\x02\x00\x00\x00")
+                out.append(b"\x89PNG\r\n\x1a\n" + ihdr + payload)
+            else:
+                out.append(payload)
+        return pd.Series(out)
+
     blobs = docs.select(F.col("doc_id").cast("string").alias("url"),
-                        blob.alias("blob"))
-    meta = decode_image_meta(blobs, fake=True)
+                        mk_blob("doc_id", "text").alias("blob"))
+    meta = decode_image_meta(blobs)
     return (meta.groupBy("format")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("n_bytes").alias("total_bytes")))
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.coalesce(F.sum("width"), F.lit(0)).alias("sum_w"),
+                 F.coalesce(F.sum("height"), F.lit(0)).alias("sum_h")))
 
 
 def q_streaming_dedup(spark, sf_dir):
@@ -1734,18 +1760,25 @@ WHERE a.vec_id < b.vec_id
 """,
         "q_multimodal_meta": """
 WITH b AS (
-  SELECT CASE WHEN doc_id % 3 = 0 THEN '\\xFF\\xD8'::BLOB || encode(text)
-              WHEN doc_id % 3 = 1 THEN '\\x89PNG'::BLOB || encode(text)
-              ELSE encode(text) END AS blob
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+              WHEN doc_id % 3 = 1 THEN 'png'
+              ELSE 'unknown' END AS format,
+         -- planted header sizes: jpeg SOI+APP0+SOF0 = 2+18+19 = 39,
+         -- png signature+IHDR(no CRC) = 8+21 = 29
+         octet_length(encode(text)) +
+         CASE WHEN doc_id % 3 = 0 THEN 39
+              WHEN doc_id % 3 = 1 THEN 29 ELSE 0 END AS n_bytes,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE doc_id % 999 + 1 END AS w,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE doc_id % 499 + 1 END AS h
   FROM documents
 )
-SELECT CASE WHEN octet_length(blob) >= 2
-                 AND substr(hex(blob), 1, 4) = 'FFD8' THEN 'jpeg'
-            WHEN octet_length(blob) >= 4
-                 AND substr(hex(blob), 1, 8) = '89504E47' THEN 'png'
-            ELSE 'unknown' END AS format,
-       count(*) AS n,
-       CAST(sum(octet_length(blob)) AS BIGINT) AS total_bytes
+SELECT format, count(*) AS n,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       coalesce(CAST(sum(w) AS BIGINT), 0) AS sum_w,
+       coalesce(CAST(sum(h) AS BIGINT), 0) AS sum_h
 FROM b GROUP BY 1
 """,
         "q_streaming_dedup": """

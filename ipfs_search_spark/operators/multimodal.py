@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is STUBBED — the
-image/audio libraries are not in this container. `decode_image_meta` raises
-NotImplementedError unless `fake=True`, which substitutes a deterministic
-fake decoder (byte-derived dimensions) so the pipeline shape is testable.
+signatures) is real and tested. Image METADATA decode is also real:
+`header_decode` parses jpeg/png/gif/bmp dimensions straight from the
+header bytes in pure python (SOF frame header / IHDR chunk / screen
+descriptor / BITMAPINFOHEADER) — no codec library required. Only full
+PIXEL decode (resize, pixel features, the real NSFW model) is stubbed
+behind `pixels=True` → NotImplementedError, since that genuinely needs
+PIL/libvips, which this container lacks.
 
 Pattern: mapInPandas over an iterator of Arrow batches — constant memory per
 task regardless of blob sizes; binary columns never pass through Python row
@@ -47,24 +50,95 @@ def _fake_decode(blob: bytes) -> tuple[str, int, int]:
     return fmt, int(w), int(h)
 
 
+# JPEG SOF markers that carry frame dimensions — every marker in
+# 0xC0..0xCF except DHT (C4), JPG (C8) and DAC (CC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def header_decode(blob: bytes) -> tuple[str, int | None, int | None]:
+    """REAL image header parse, pure python — no codec library needed.
+    (format, width, height); dimensions None when the header is truncated
+    or the format is unrecognized.
+
+    png — IHDR is the mandatory first chunk after the 8-byte signature:
+          width/height are big-endian u32 at offsets 16/20.
+    jpeg — walk the marker segments from SOI to the first SOF frame
+           header (precision u8, height u16be, width u16be).
+    gif — GIF87a/GIF89a logical screen size, little-endian u16 at 6/8.
+    bmp — BITMAPINFOHEADER width/height, little-endian i32 at 18/22."""
+    if blob[:4] == b"\x89PNG":
+        # 4-byte sniff (content-type gating); dimensions only from a full
+        # signature + IHDR-first chunk (the PNG spec mandates IHDR first)
+        if (blob[4:8] == b"\r\n\x1a\n" and len(blob) >= 24
+                and blob[12:16] == b"IHDR"):
+            return ("png", int.from_bytes(blob[16:20], "big"),
+                    int.from_bytes(blob[20:24], "big"))
+        return "png", None, None
+    if blob[:2] == b"\xff\xd8":
+        i, n = 2, len(blob)
+        while i + 3 < n:
+            if blob[i] != 0xFF:  # not at a marker — corrupt stream
+                break
+            marker = blob[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seg_len = int.from_bytes(blob[i + 2:i + 4], "big")
+            if seg_len < 2:
+                break
+            if marker in _JPEG_SOF:
+                if i + 9 <= n:
+                    return ("jpeg",
+                            int.from_bytes(blob[i + 7:i + 9], "big"),
+                            int.from_bytes(blob[i + 5:i + 7], "big"))
+                break
+            i += 2 + seg_len
+        return "jpeg", None, None
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        if len(blob) >= 10:
+            return ("gif", int.from_bytes(blob[6:8], "little"),
+                    int.from_bytes(blob[8:10], "little"))
+        return "gif", None, None
+    if blob[:2] == b"BM" and len(blob) >= 26:
+        return ("bmp",
+                int.from_bytes(blob[18:22], "little", signed=True),
+                abs(int.from_bytes(blob[22:26], "little", signed=True)))
+    return "unknown", None, None
+
+
 def decode_image_meta(df: DataFrame, blob_col: str = "blob",
-                      url_col: str = "url", fake: bool = False) -> DataFrame:
-    """binary blobs → typed metadata rows via mapInPandas (iterator form)."""
+                      url_col: str = "url", fake: bool = False,
+                      pixels: bool = False) -> DataFrame:
+    """binary blobs → typed metadata rows via mapInPandas (iterator form).
+
+    Default decoder is the REAL pure-python header parse (jpeg/png/gif/bmp
+    dimensions straight from SOF/IHDR/header bytes — header_decode above).
+    fake=True keeps the legacy deterministic stub (byte-derived dims).
+    pixels=True is the full-decode hook (resize / pixel features) — that
+    genuinely needs a codec library and raises NotImplementedError here."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if pixels:
                 raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not in this "
-                    "container; pass fake=True for the deterministic stub")
-            metas = [_fake_decode(bytes(b) if b is not None else b"")
+                    "full pixel decode requires PIL/libvips — not in this "
+                    "container; header metadata needs no codec (default)")
+            dec = _fake_decode if fake else header_decode
+            metas = [dec(bytes(b) if b is not None else b"")
                      for b in pdf[blob_col]]
             yield pd.DataFrame({
                 "url": pdf[url_col].astype(str),
                 "n_bytes": [len(bytes(b)) if b is not None else 0
                             for b in pdf[blob_col]],
                 "format": [m[0] for m in metas],
-                "width": [m[1] for m in metas],
-                "height": [m[2] for m in metas],
+                # nullable Int32: header-truncated/unknown dims are NULL
+                "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                "height": pd.array([m[2] for m in metas], dtype="Int32"),
             })
 
     return df.select(url_col, blob_col).mapInPandas(gen, IMAGE_META_SCHEMA)

@@ -70,13 +70,63 @@ def test_multimodal_plumbing(spark):
     assert meta["u2"]["format"] == "png"
     assert meta["u3"]["format"] == "unknown" and meta["u3"]["n_bytes"] == 0
 
+    # real header decode: truncated headers yield NULL dims, not errors
+    real = {r["url"]: r for r in decode_image_meta(df).collect()}
+    assert real["u1"]["format"] == "jpeg" and real["u1"]["width"] is None
+    assert real["u2"]["format"] == "png" and real["u2"]["width"] is None
+    assert real["u3"]["format"] == "unknown"
+
     with pytest.raises(Exception) as ei:
-        decode_image_meta(df, fake=False).collect()
+        decode_image_meta(df, pixels=True).collect()
     assert "NotImplementedError" in str(ei.value) or \
         isinstance(ei.value, NotImplementedError)
 
     frames = frame_sample_plan(df, every_n=1).collect()
     assert {r["url"] for r in frames} == {"u1", "u2", "u3"}
+
+
+def test_header_decode_real_formats():
+    """Pure-python header parse against real minimal files of all four
+    formats — dimensions must come out of the actual header bytes."""
+    import zlib
+
+    from ipfs_search_spark.operators.multimodal import header_decode
+
+    # PNG 640x480 with a correct IHDR (CRC included for realism)
+    ihdr_data = ((640).to_bytes(4, "big") + (480).to_bytes(4, "big") +
+                 b"\x08\x02\x00\x00\x00")
+    ihdr = ((13).to_bytes(4, "big") + b"IHDR" + ihdr_data +
+            zlib.crc32(b"IHDR" + ihdr_data).to_bytes(4, "big"))
+    assert header_decode(b"\x89PNG\r\n\x1a\n" + ihdr) == ("png", 640, 480)
+
+    # JPEG 31x17, SOF0 after APP0 and a COM segment (segment walking)
+    app0 = (b"\xff\xe0" + (16).to_bytes(2, "big") +
+            b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08" +
+            (17).to_bytes(2, "big") + (31).to_bytes(2, "big") +
+            b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    assert header_decode(b"\xff\xd8" + app0 + com + sof0) == ("jpeg", 31, 17)
+    # progressive (SOF2) works too
+    sof2 = sof0.replace(b"\xff\xc0", b"\xff\xc2")
+    assert header_decode(b"\xff\xd8" + app0 + sof2) == ("jpeg", 31, 17)
+    # DHT (C4) must be skipped, not read as a frame header
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"abc"
+    assert header_decode(b"\xff\xd8" + dht + sof0) == ("jpeg", 31, 17)
+
+    # GIF and BMP
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert header_decode(gif + b"\x00" * 4) == ("gif", 320, 200)
+    bmp = (b"BM" + b"\x00" * 16 +
+           (100).to_bytes(4, "little", signed=True) +
+           (-50).to_bytes(4, "little", signed=True))  # top-down: |h|
+    assert header_decode(bmp) == ("bmp", 100, 50)
+
+    # truncated / garbage
+    assert header_decode(b"\x89PNG\r\n\x1a\nIH") == ("png", None, None)
+    assert header_decode(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+    assert header_decode(b"notanimage") == ("unknown", None, None)
+    assert header_decode(b"") == ("unknown", None, None)
 
 
 def test_index_stats_match_oracle(built_index):
