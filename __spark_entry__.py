@@ -153,11 +153,22 @@ def _tok_of(expr: str) -> str:
     return _TOK.replace("lower(text)", f"lower({expr})")
 
 
+# links.name: child link names of directory parents (doc_id % 4 == 0),
+# aggregated through the REAL operator chain (aggregate_links →
+# links_name_text) on the Spark side; the oracle writes out the same
+# deterministic names in aggregate_links' sorted order (d < f < w).
+_LINKSNAME_FIELD_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'dir' || (doc_id % 7) || "
+    "' file' || (doc_id % 13) || "
+    "CASE WHEN doc_id % 20 = 0 THEN ' window' ELSE '' END "
+    "ELSE '' END")
+
 _FIELD_SPECS = [
     ("title", 2.0, "list_slice(a, 1, 5)"),
     ("description", 1.5, "list_slice(a, 6, 12)"),
     ("urls", 1.2, _tok_of(_URLS_FIELD_SQL)),
     ("references.name", 1.1, _tok_of(_REFNAME_FIELD_SQL)),
+    ("links.name", 1.3, _tok_of(_LINKSNAME_FIELD_SQL)),
     ("content", 1.0, "a"),
 ]
 
@@ -334,8 +345,12 @@ ORDER BY sc.score DESC, sc.doc_id LIMIT {k}
 
 
 def _neardup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ planted near-duplicates (truncated copies of every 10th
-    doc) — deterministic, mirrored exactly in the oracle SQL."""
+    """documents ∪ planted near-duplicates — deterministic, mirrored
+    exactly in the oracle SQL. Two plantings: a truncated copy of every
+    10th doc (near-dup pairs corpus-wide), plus a DENSE cluster around
+    every doc_id % 100 == 10 doc — three suffix-appended variants each
+    (appending preserves every original shingle, so the variants provably
+    share minhash bands) — so more-like-this ranks among ≥5 candidates."""
     from ipfs_search_spark.functions.tokenize import tokens_array
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(F.col("doc_id").alias("id"), "text")
@@ -344,8 +359,23 @@ def _neardup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, 1, greatest(cast(n_chars as int) - 10, 20))")
         .alias("text"),
     )
-    return base.unionByName(planted).filter(
-        F.size(tokens_array(F.col("text"))) >= 3)
+    cluster = docs.filter(F.col("doc_id") % 100 == 10)
+    variants = [
+        # graduated similarity → graduated band overlap → real RANKING
+        F.concat(F.col("text"), F.lit(" pad1")),             # ~identical
+        F.expr("substring(text, 1, "
+               "greatest(cast(n_chars as int) - 25, 20))"),  # -25 chars
+        F.expr("substring(text, 1, "
+               "greatest(cast(n_chars as int) - 45, 20))"),  # -45 chars
+    ]
+    parts = [base, planted] + [
+        cluster.select((F.col("doc_id") + (3 + j) * 1000000).alias("id"),
+                       v.alias("text"))
+        for j, v in enumerate(variants)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.size(tokens_array(F.col("text"))) >= 3)
 
 
 _NEARDUP_BASE_SQL = """
@@ -355,6 +385,17 @@ _NEARDUP_BASE_SQL = """
     SELECT doc_id + 1000000 AS id,
            substr(text, 1, greatest(CAST(n_chars AS INT) - 10, 20)) AS text
     FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS id, text || ' pad1' AS text
+    FROM documents WHERE doc_id % 100 = 10
+    UNION ALL
+    SELECT doc_id + 4000000 AS id,
+           substr(text, 1, greatest(CAST(n_chars AS INT) - 25, 20)) AS text
+    FROM documents WHERE doc_id % 100 = 10
+    UNION ALL
+    SELECT doc_id + 5000000 AS id,
+           substr(text, 1, greatest(CAST(n_chars AS INT) - 45, 20)) AS text
+    FROM documents WHERE doc_id % 100 = 10
   ) WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                           x -> x != '')) >= 3
 """
@@ -469,6 +510,9 @@ def _fielded_io(spark: SparkSession, sf_dir: str):
     from ipfs_search_spark.functions.tokenize import tokens_array
     from ipfs_search_spark.operators.index_build import build_fielded_index
 
+    from ipfs_search_spark.operators.crawl import links_name_text
+    from ipfs_search_spark.operators.ingest import aggregate_links
+
     io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-fielded-"))
     toks = tokens_array(F.col("text"))
     docs = _t(spark, sf_dir, "documents").select(
@@ -487,11 +531,26 @@ def _fielded_io(spark: SparkSession, sf_dir: str):
         F.col("text").alias("content"),
         F.col("lang"), F.lit("ok").alias("status"),
     )
+    # links.name family through the real directory chain: deterministic
+    # child edges → aggregate_links (sorted, capped) → links_name_text
+    base = F.array(
+        F.concat(F.lit("dir"), (F.col("doc_id") % 7).cast("string")),
+        F.concat(F.lit("file"), (F.col("doc_id") % 13).cast("string")))
+    names = F.when(F.col("doc_id") % 20 == 0,
+                   F.concat(base, F.array(F.lit("window")))).otherwise(base)
+    edges = (docs.filter(F.col("doc_id") % 4 == 0)
+             .select("doc_id", F.explode(names).alias("name")))
+    lnk = links_name_text(aggregate_links(edges, "doc_id", ["name"]),
+                          "doc_id")
+    docs = (docs.join(lnk, "doc_id", "left")
+            .withColumn("links_name",
+                        F.coalesce("links_name", F.lit(""))))
     build_fielded_index(spark, docs, io,
                         fields={"title": "title",
                                 "description": "description",
                                 "urls": "urls_text",
                                 "references.name": "references_name",
+                                "links.name": "links_name",
                                 "content": "content"},
                         n_shards=4, n_buckets=16)
     _FIELDED_CACHE[key] = io

@@ -61,3 +61,25 @@ def crawl_fixpoint(roots: DataFrame, links: DataFrame,
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return seen
+
+
+def links_name_text(agg_links: DataFrame, parent_col: str,
+                    name_field: str = "name",
+                    links_col: str = "links") -> DataFrame:
+    """Child link NAMES of a directory parent as ONE analyzed text value —
+    the reference's directories index makes `links.Name` a full-text
+    searchable field (/root/reference/docs/indices/directories.json:19-27),
+    so a search for a filename surfaces the directories containing it.
+
+    Input: aggregate_links output (parent, links:array<struct>, ...).
+    Output: (parent_col, links_name) — feed as a field of
+    build_fielded_index ({'links.name': 'links_name'}) so child names get
+    their own BM25 statistics and boost, exactly like title/content.
+    Space-joined in the links array's (sorted) order: the analyzer splits
+    on non-alphanumerics anyway, so joining is lossless for term search."""
+    return agg_links.select(
+        F.col(parent_col),
+        F.concat_ws(
+            " ", F.transform(F.col(links_col),
+                             lambda s: s[name_field].cast("string"))
+        ).alias("links_name"))

@@ -59,3 +59,43 @@ def test_mime_gate_and_nsfw_stub(spark):
     # deterministic: rerun gives identical scores
     again = {r["url"]: r for r in classify_nsfw_stub(gated).collect()}
     assert again == scores
+
+
+def test_links_name_field_family(spark, tmp_path):
+    """Directory child-link names as an analyzed field of the fielded index
+    (the reference's directories links.Name,
+    /root/reference/docs/indices/directories.json:19-27): searching a
+    child's filename surfaces the parent directory doc."""
+    import pyspark.sql.functions as F
+
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.crawl import links_name_text
+    from ipfs_search_spark.operators.index_build import build_fielded_index
+    from ipfs_search_spark.operators.ingest import aggregate_links
+    from ipfs_search_spark.plans.query import Searcher
+
+    docs = spark.createDataFrame(
+        [("d0", 0, "alpha beta", "ok"), ("d1", 1, "gamma delta", "ok"),
+         ("d2", 2, "epsilon zeta", "ok")],
+        "url string, doc_id long, text string, status string")
+    edges = spark.createDataFrame(
+        [(0, "report.pdf"), (0, "notes.txt"), (1, "photo.jpeg")],
+        "doc_id long, name string")
+    lnk = links_name_text(aggregate_links(edges, "doc_id", ["name"]),
+                          "doc_id")
+    docs = (docs.join(lnk, "doc_id", "left")
+            .withColumn("links_name", F.coalesce("links_name", F.lit(""))))
+    io = TableIO(spark, str(tmp_path / "linksidx"))
+    build_fielded_index(spark, docs, io,
+                        fields={"content": "text",
+                                "links.name": "links_name"},
+                        n_shards=2, n_buckets=8)
+    sx = Searcher(spark, io)
+    boosts = {"content": 1.0, "links.name": 1.5}
+    hits = sx.search([(0, "report")], k=5, fields=boosts).collect()
+    assert [r["doc_id"] for r in hits] == [0]  # dir found by child name
+    hits2 = sx.search([(0, "photo alpha")], k=5, fields=boosts).collect()
+    assert {r["doc_id"] for r in hits2} == {0, 1}
+    # tokenizer splits the filename: extension is independently searchable
+    hits3 = sx.search([(0, "jpeg")], k=5, fields=boosts).collect()
+    assert [r["doc_id"] for r in hits3] == [1]
