@@ -146,10 +146,21 @@ def bench_queries(spark, io) -> dict[str, float]:
     t0 = time.monotonic()
     sx.search([(0, "dat* merge")], k=10).collect()
     lat["bm25_prefix"] = round(time.monotonic() - t0, 4)
-    # filter-leaf tree surface (bits + compiled metadata predicate)
+    # filter-leaf tree surface (in-shard leaf bitmask evaluation)
     t0 = time.monotonic()
     sx.search([(0, "lang:de OR merge")], k=10).collect()
     lat["bm25_filter_tree"] = round(time.monotonic() - t0, 4)
+    # conjunct-filtered query (allowed-set cogroup, per-shard cut ON)
+    t0 = time.monotonic()
+    sx.search([(0, "data spark lang:de")], k=10).collect()
+    lat["bm25_filtered"] = round(time.monotonic() - t0, 4)
+    # fuzzy + general wildcard expansion surfaces
+    t0 = time.monotonic()
+    sx.search([(0, "merge~1 spark")], k=10).collect()
+    lat["bm25_fuzzy"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    sx.search([(0, "d?ta merge")], k=10).collect()
+    lat["bm25_wildcard"] = round(time.monotonic() - t0, 4)
     return lat
 
 

@@ -71,7 +71,7 @@ from pyspark.sql.types import (
 
 from ipfs_search_spark.catalog import TableIO
 from ipfs_search_spark.plans.parser import (
-    Expansion, Query, filter_to_sql, parse_query,
+    Expansion, Filter, Query, filter_to_sql, parse_query,
 )
 
 CANDIDATE_SCHEMA = StructType([
@@ -181,6 +181,61 @@ def _tree_leaves(node) -> set:
     return out
 
 
+def _neg_term_leaves(node, bool_filters: dict, neg: bool = False) -> bool:
+    """True when any term/phrase/expansion leaf sits in NEGATIVE context
+    (odd NOT depth). Such trees are non-monotone in term presence, so the
+    filter-only branch (which assumes all term leaves false) cannot be
+    reconciled with a per-shard-cut candidate set — those queries keep the
+    legacy keep_all + JVM-side tree evaluation."""
+    if isinstance(node, str):
+        return neg and node not in bool_filters
+    if node[0] == "not":
+        return _neg_term_leaves(node[1], bool_filters, not neg)
+    return any(_neg_term_leaves(c, bool_filters, neg) for c in node[1:])
+
+
+def _default_tree_const(node, bool_filters: dict) -> bool:
+    """The tree's value at the DEFAULT valuation — every term/phrase/
+    expansion leaf false, every filter leaf's positive form false (so a
+    negated leaf reads true). This is what the tree evaluates to for a doc
+    that contains no query term and matches no positive filter clause.
+    The in-shard fast path requires False: then every possible match
+    either holds a query term (a scorer candidate) or matches a positive
+    filter clause (shipped to its shard by the allowed/bits scan) — no
+    doc outside the cogroup can satisfy the query, so no unbounded
+    documents-scan branch is needed (`a OR NOT lang:en` has default True:
+    every non-english doc matches — that shape keeps the legacy path)."""
+    if isinstance(node, str):
+        flt = bool_filters.get(node)
+        return bool(flt.neg) if flt is not None else False
+    if node[0] == "not":
+        return not _default_tree_const(node[1], bool_filters)
+    vals = [_default_tree_const(c, bool_filters) for c in node[1:]]
+    return all(vals) if node[0] == "and" else any(vals)
+
+
+def _eval_bits_tree(node, fbitmap: dict, fconst: dict, bits):
+    """Vectorized terms-false tree evaluation over filter-leaf bitmasks:
+    term/phrase/expansion leaves read false, filter leaves read their
+    (possibly inverted) bit — the in-shard form of branch B's predicate."""
+    import numpy as np
+    if isinstance(node, str):
+        if node in fbitmap:
+            bit, inv = fbitmap[node]
+            v = ((bits >> np.int64(int(bit))) & 1).astype(bool)
+            return ~v if inv else v
+        if node in fconst:
+            return np.full(bits.size, bool(fconst[node]), dtype=bool)
+        return np.zeros(bits.size, dtype=bool)
+    if node[0] == "not":
+        return ~_eval_bits_tree(node[1], fbitmap, fconst, bits)
+    acc = _eval_bits_tree(node[1], fbitmap, fconst, bits)
+    for c in node[2:]:
+        nxt = _eval_bits_tree(c, fbitmap, fconst, bits)
+        acc = (acc & nxt) if node[0] == "and" else (acc | nxt)
+    return acc
+
+
 def _tree_sql(node, bool_filters: dict, bitmap: dict, doc_cols,
               terms_false: bool = False) -> str:
     """Compile an encoded boolean tree with filter leaves to a Spark SQL
@@ -253,7 +308,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
               (skipped blocks would lose position data and bias θ).
       'any' — negative path: emit docs satisfying ANY group (the caller
               anti-joins them away); scores are not meaningful."""
-    def _score(pdf: pd.DataFrame, allowed=None) -> pd.DataFrame:
+    def _score(pdf: pd.DataFrame, allowed=None, fmap=None) -> pd.DataFrame:
         import json as _json
 
         import numpy as np
@@ -601,11 +656,30 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 md = (np.unique(np.concatenate(mlist)) if mlist
                       else np.empty(0, np.int64))
                 ph_pres[key] = np.isin(doc_ids, md)
+            # filter-leaf truth values (in-shard tree evaluation): the
+            # cogroup shipped each candidate's POSITIVE-form leaf bitmask;
+            # docs absent from the map satisfied no positive leaf
+            fbitmap = bool_spec.get("fbitmap") or {}
+            fconst = bool_spec.get("fconst") or {}
+            fvec = np.zeros(doc_ids.size, dtype=np.int64)
+            if fbitmap and fmap is not None and doc_ids.size \
+                    and fmap[0].size:
+                pos_f = np.searchsorted(fmap[0], doc_ids)
+                pos_c = np.minimum(pos_f, fmap[0].size - 1)
+                hit = fmap[0][pos_c] == doc_ids
+                fvec[hit] = fmap[1][pos_c[hit]]
 
             def _ev(node):
                 if isinstance(node, str):
                     if node in ph_pres:
                         return ph_pres[node]
+                    if node in fbitmap:
+                        bit, inv = fbitmap[node]
+                        v = ((fvec >> np.int64(bit)) & 1).astype(bool)
+                        return ~v if inv else v
+                    if node in fconst:
+                        return np.full(doc_ids.size, fconst[node],
+                                       dtype=bool)
                     gi = group_of.get(node)
                     if gi is None:  # term absent from the whole index
                         return np.zeros(doc_ids.size, dtype=bool)
@@ -641,8 +715,34 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     "score": doc_scores.astype(np.float64),
                     "bits": bits_vec,
                 })
+            pre_mask_docs = doc_ids
             bmask = _ev(bool_spec["tree"])
             doc_ids, doc_scores = doc_ids[bmask], doc_scores[bmask]
+            if fbitmap or fconst:
+                # constant-score floor for filter-leaf trees: a doc whose
+                # positive term leaves contributed nothing (matched via a
+                # filter leaf / NOT-only probes) scores the OpenSearch
+                # constant 1.0 — identical to the JVM-side floor the
+                # legacy bits path applies after its metadata join
+                doc_scores = np.where(doc_scores > 0.0, doc_scores, 1.0)
+                # branch B IN-SHARD: shipped filter-leaf docs with no
+                # query-term posting here that satisfy the terms-false
+                # tree match at the constant 1.0. (Candidates — even
+                # tree-false ones — are excluded: a term-doc must never
+                # re-enter at the constant after the real evaluation.)
+                if fmap is not None:
+                    bd, bb = fmap
+                    bsel = ~np.isin(bd, pre_mask_docs)
+                    if allowed is not None:
+                        bsel &= np.isin(bd, allowed)
+                    bd2, bb2 = bd[bsel], bb[bsel]
+                    if bd2.size:
+                        okb = _eval_bits_tree(bool_spec["tree"], fbitmap,
+                                              fconst, bb2)
+                        bd2 = bd2[okb]
+                        doc_ids = np.concatenate([doc_ids, bd2])
+                        doc_scores = np.concatenate(
+                            [doc_scores, np.ones(bd2.size)])
         if not keep_all_q and doc_ids.size > k:
             # exact top-k by (score DESC, doc_id ASC) — the same tie-break
             # as the global rank window and the oracle; a plain argpartition
@@ -665,20 +765,70 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         return score_shard
 
     def score_cogroup(left: pd.DataFrame, right: pd.DataFrame):
+        import json as _json
+
         import numpy as np
+
+        empty = pd.DataFrame({"query_id": [], "doc_id": [],
+                              "score": [], "bits": []}
+                             ).astype({"query_id": "int32",
+                                       "doc_id": "int64",
+                                       "score": "float64",
+                                       "bits": "int64"})
+        # carrier row (fast filter-leaf trees): delivers the tree spec +
+        # conjunct flag so shards with NO term postings still emit their
+        # filter-only matches
+        docs_r = right
+        spec_json, carrier_allow = "", 0
+        if "spec" in right.columns and len(right):
+            cmask = right["spec"].astype(str) != ""
+            if cmask.any():
+                crow = right[cmask].iloc[0]
+                spec_json = str(crow["spec"])
+                carrier_allow = int(crow["allow"])
+            docs_r = right[~cmask]
         if len(left) == 0:
-            # allowed-only (query, shard) group: filtered docs with no
-            # query-term posting here — nothing can score
-            return pd.DataFrame({"query_id": [], "doc_id": [],
-                                 "score": [], "bits": []}
-                                ).astype({"query_id": "int32",
-                                          "doc_id": "int64",
-                                          "score": "float64",
-                                          "bits": "int64"})
+            if not spec_json or not len(docs_r):
+                # allowed-only group of a conjunct-filtered query: no
+                # query-term posting here — nothing can score
+                return empty
+            # B-only: filter-only matches where the query has no postings
+            spec = _json.loads(spec_json)
+            dids = docs_r["doc_id"].to_numpy(dtype=np.int64)
+            fb = docs_r["fbits"].to_numpy(dtype=np.int64)
+            if carrier_allow:
+                ok_a = docs_r["allow"].to_numpy(dtype=np.int64) == 1
+                dids, fb = dids[ok_a], fb[ok_a]
+            okb = _eval_bits_tree(spec["tree"], spec.get("fbitmap") or {},
+                                  spec.get("fconst") or {}, fb)
+            dids = np.sort(dids[okb])
+            if dids.size > k:
+                # all tie at the constant 1.0: the global rank keeps the
+                # k lowest doc_ids (signed asc — same as the rank window)
+                dids = dids[:k]
+            return pd.DataFrame({
+                "query_id": np.full(
+                    dids.size, int(right["query_id"].iloc[0]),
+                    dtype=np.int32),
+                "doc_id": dids.astype(np.int64),
+                "score": np.ones(dids.size, dtype=np.float64),
+                "bits": np.zeros(dids.size, dtype=np.int64),
+            })
         allowed = None
         if "flt" in left.columns and bool(left["flt"].iloc[0]):
-            allowed = np.unique(right["doc_id"].to_numpy(dtype=np.int64))
-        return _score(left, allowed)
+            mask = (docs_r["allow"] == 1) if "allow" in docs_r.columns \
+                else slice(None)
+            allowed = np.unique(
+                docs_r.loc[mask, "doc_id"].to_numpy(dtype=np.int64))
+        fmap = None
+        if "fbits" in docs_r.columns and len(docs_r):
+            rr = docs_r[docs_r["fbits"] != 0]
+            if len(rr):
+                fd = rr["doc_id"].to_numpy(dtype=np.int64)
+                fb = rr["fbits"].to_numpy(dtype=np.int64)
+                o = np.argsort(fd)
+                fmap = (fd[o], fb[o])
+        return _score(left, allowed, fmap)
     return score_cogroup
 
 
@@ -1061,17 +1211,35 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         pr = _filters_pred(p, docs.columns)
         if pr != "true":
             flt_specs[qid] = pr
-    cg = bool(flt_specs) and sx.n_shards is not None
+    cg = (bool(flt_specs) or bool(ft_qids)) and sx.n_shards is not None
+    # filter-LEAF bit specs (trees like `lang:de OR merge`): each leaf's
+    # POSITIVE-form predicate — negated leaves invert in the scorer, so
+    # the shipped doc set stays the selective positive match, never its
+    # complement — evaluated in the same single documents scan as the
+    # conjunct allowed sets and cogrouped to the doc's shard as a bitmask.
+    # The scorer then evaluates the FULL tree in-shard and keeps its
+    # per-shard top-k cut ON (keep_all previously shipped the query's
+    # whole candidate set to the rank window — r3 verdict).
+    leaf_preds: dict[int, list] = {}  # qid -> [(bit, pos_pred_sql)]
+    # one spec-carrier right-side row per (fast-ft query, shard): delivers
+    # the tree spec + conjunct flag to shards where the query has NO term
+    # postings (empty left side), so their filter-only matches still emit
+    carriers: list = []  # (qid, bool_json, flt_flag)
 
     qterm_rows = []
     bitmaps: dict[int, dict] = {}
     for qid, p in parsed.items():
-        # per-query keep_all flag: a filter-LEAF tree is decided after the
-        # metadata join, so no pre-tree cut is sound for it. (Plain
-        # conjunct filters no longer need keep_all — their allowed set is
-        # enforced in-shard via the cogroup, except on legacy stats-less
-        # layouts where the doc→shard route is unknown.)
-        ka = 1 if (p.bool_filters or (p.filters and not cg)) else 0
+        # ft_fast: this filter-leaf tree evaluates fully IN-SHARD (leaf
+        # bitmask via the cogroup) and keeps its per-shard cut. Trees with
+        # a term leaf in NOT context stay on the legacy keep_all + JVM
+        # bits path (see _neg_term_leaves); likewise everything on legacy
+        # stats-less layouts (no doc→shard route) and conjunct filters
+        # there (external semi-join).
+        ft_fast = (cg and p.bool_filters and p.bool_tree is not None
+                   and not _neg_term_leaves(p.bool_tree, p.bool_filters)
+                   and not _default_tree_const(p.bool_tree, p.bool_filters))
+        ka = 1 if ((p.filters and not cg)
+                   or (p.bool_filters and not ft_fast)) else 0
         fl = 1 if (cg and qid in flt_specs) else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
@@ -1098,7 +1266,34 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             bphrases = {key: phrase_groups([terms])[0]
                         for key, terms in p.bool_phrases.items()}
             spec = {"tree": p.bool_tree, "phrases": bphrases}
-            if p.bool_filters:
+            if p.bool_filters and ft_fast:
+                # in-shard tree evaluation: filter leaves resolve through
+                # the cogrouped per-doc bitmask (fbitmap: leaf -> [bit,
+                # invert]); leaves on fields this index lacks are baked
+                # constants. The scorer evaluates the WHOLE tree and keeps
+                # its per-shard cut — no JVM-side bits pass for branch A.
+                if len(p.bool_filters) > 63:
+                    raise ValueError(
+                        "boolean trees support at most 63 filter leaves, "
+                        f"got {len(p.bool_filters)}")
+                fb: dict = {}
+                fc: dict = {}
+                lps: list = []
+                for i, key in enumerate(sorted(p.bool_filters)):
+                    flt = p.bool_filters[key]
+                    base_col = ("references"
+                                if flt.field == "references.name"
+                                else flt.field)
+                    if base_col not in docs.columns:
+                        fc[key] = bool(flt.neg)
+                        continue
+                    fb[key] = [i, bool(flt.neg)]
+                    pflt = Filter(flt.field, flt.op, flt.value, neg=False)
+                    lps.append((i, filter_to_sql(pflt)))
+                spec["fbitmap"], spec["fconst"] = fb, fc
+                if lps:
+                    leaf_preds[qid] = lps
+            elif p.bool_filters:
                 leaves = sorted(_tree_leaves(p.bool_tree)
                                 - set(p.bool_filters))
                 if len(leaves) > 63:
@@ -1108,6 +1303,8 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 spec["bitmap"] = {key: i for i, key in enumerate(leaves)}
                 bitmaps[qid] = spec["bitmap"]
             bool_json = _json.dumps(spec)
+            if p.bool_filters and ft_fast:
+                carriers.append((qid, bool_json, fl))
         # per-query AND-required count; 0 = OR / boolean-tree semantics
         # (an expansion clause counts as ONE group however many terms it
         # expanded to)
@@ -1199,7 +1396,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
 
     candidates = None
     probe = None
-    if qterm_rows:
+    if qterm_rows or carriers:
         buckets = sorted({tstats[r[1]][1] for r in qterm_rows})
         live_terms = sorted({r[1] for r in qterm_rows})
 
@@ -1220,27 +1417,62 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         if cg:
             # ONE pruned documents scan serves every filtered query in the
             # batch (r3 verdict: Q filtered queries used to plan Q scans):
-            # the OR of all live predicates pushes down, then each doc
-            # explodes to the query_ids whose predicate it satisfies, and
-            # the row routes to the doc's postings shard.
+            # the OR of all live predicates (conjunct filters AND tree
+            # filter leaves) pushes down; each matching doc emits one row
+            # per query it is relevant to — allow=1 when it passes the
+            # query's conjunct filters, fbits = the bitmask of satisfied
+            # positive-form filter leaves — routed to the doc's postings
+            # shard for the cogroup.
             live = {q: pr for q, pr in flt_specs.items() if pr is not None}
-            if live:
-                qcols = [F.when(F.expr(pr), F.lit(q).cast("int"))
-                         for q, pr in live.items()]
-                any_pred = " OR ".join(f"({pr})" for pr in live.values())
+            scan_preds = [f"({pr})" for pr in live.values()] + \
+                [f"({pr})" for lps in leaf_preds.values() for _, pr in lps]
+            if scan_preds:
+                structs = []
+                for q in sorted(set(live) | set(leaf_preds)):
+                    allow_e = (F.when(F.expr(live[q]), F.lit(1))
+                               .otherwise(F.lit(0))
+                               if q in live else F.lit(0))
+                    fb_e = F.lit(0).cast("long")
+                    for bit, pr in leaf_preds.get(q, []):
+                        fb_e = fb_e + (
+                            F.when(F.expr(pr),
+                                   F.lit(1 << bit).cast("long"))
+                            .otherwise(F.lit(0).cast("long")))
+                    structs.append(F.struct(
+                        F.lit(q).cast("int").alias("query_id"),
+                        allow_e.cast("int").alias("allow"),
+                        fb_e.alias("fbits")))
+                base_scan = (docs.filter(F.col("status") == "ok")
+                             if "status" in docs.columns else docs)
+                rel = F.filter(
+                    F.array(*structs),
+                    lambda s: (s["allow"] == 1) | (s["fbits"] != 0))
                 allowed_df = (
-                    docs.filter(F.expr(any_pred))
-                    .select(F.col("doc_id"),
-                            F.explode(F.array(*qcols)).alias("query_id"))
-                    .filter(F.col("query_id").isNotNull())
+                    base_scan.filter(F.expr(" OR ".join(scan_preds)))
+                    .select("doc_id", F.explode(rel).alias("s"))
                     .withColumn("shard",
                                 F.pmod(F.xxhash64("doc_id"),
                                        F.lit(sx.n_shards)).cast("int"))
-                    .select("query_id", "shard",
-                            F.col("doc_id").cast("long").alias("doc_id")))
-            else:  # every filtered query's predicate is unsatisfiable
+                    .select(F.col("s.query_id").alias("query_id"), "shard",
+                            F.col("doc_id").cast("long").alias("doc_id"),
+                            F.col("s.allow").alias("allow"),
+                            F.col("s.fbits").alias("fbits"),
+                            F.lit("").alias("spec")))
+            else:  # filtered queries exist but none has a live predicate
                 allowed_df = spark.createDataFrame(
-                    [], "query_id int, shard int, doc_id long")
+                    [], "query_id int, shard int, doc_id long, "
+                        "allow int, fbits long, spec string")
+            if carriers:
+                # doc_id 0, NOT null: a null would make Arrow hand pandas
+                # a float64 doc_id column for the whole group, silently
+                # rounding real 64-bit ids; carrier rows are excluded from
+                # the doc rows by their non-empty spec regardless
+                crows = [(q, s, 0, int(a), 0, spec)
+                         for q, spec, a in carriers
+                         for s in range(int(sx.n_shards))]
+                allowed_df = allowed_df.unionByName(spark.createDataFrame(
+                    crows, "query_id int, shard int, doc_id long, "
+                           "allow int, fbits long, spec string"))
             candidates = pos_probe.groupBy("query_id", "shard").cogroup(
                 allowed_df.groupBy("query_id", "shard")
             ).applyInPandas(
@@ -1269,31 +1501,36 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         ).select("query_id", "doc_id")
         neg_union = neg_docs.unionByName(negp_docs)
 
-    # Boolean trees with filter leaves: the scorer emitted per-doc presence
-    # bits for the term/phrase leaves; evaluate the FULL tree here, where
-    # the metadata the filter leaves need is joinable. Two branches per
-    # query: (A) scored candidates (docs containing ≥1 query term) — join
-    # the metadata, apply the compiled tree predicate, keep the term score
-    # floored at the constant-score 1.0; (B) filter-only matches (docs with
-    # NO query term can still satisfy the tree through its filter leaves) —
+    # Boolean trees with filter leaves. FAST (monotone, default-false)
+    # trees were decided entirely IN-SHARD: candidates already hold their
+    # tree-true, constant-floored, per-shard-cut rows — branch A — AND
+    # their filter-only matches — branch B, emitted from the cogrouped
+    # leaf-bit rows (every possible match either has a query term or
+    # matches a positive filter clause, so the cogroup saw it). Nothing
+    # to do here for them. LEGACY trees (term leaves under NOT, default-
+    # true trees like `a OR NOT lang:de`, stats-less layouts) emitted
+    # term/phrase presence bits instead: (A) evaluate the FULL tree here,
+    # where the metadata the filter leaves need is joinable, keeping the
+    # term score floored at the constant 1.0; (B) filter-only matches —
     # a pruned documents scan with every term leaf false, constant score
-    # 1.0, anti-joined against A's universe, cut to the k_page lowest
-    # doc_ids (sound: B rows all tie at 1.0 and the global rank breaks
-    # ties by doc_id ASC).
-    if ft_qids:
+    # 1.0, anti-joined against A's (keep_all, uncut) universe, cut to the
+    # k_page lowest doc_ids (sound: B rows all tie at 1.0 and the global
+    # rank breaks ties by doc_id ASC).
+    legacy_ft = sorted(set(ft_qids) & set(bitmaps)) if ft_qids else []
+    if legacy_ft:
         meta_cols = sorted({
             ("references" if f.field == "references.name" else f.field)
-            for qid in ft_qids
+            for qid in legacy_ft
             for f in parsed[qid].bool_filters.values()
         } & set(docs.columns))
-        parts = ([candidates.filter(~F.col("query_id").isin(ft_qids))]
+        parts = ([candidates.filter(~F.col("query_id").isin(legacy_ft))]
                  if candidates is not None else [])
         base = (docs.filter(F.col("status") == "ok")
                 if "status" in docs.columns else docs)
-        for qid in ft_qids:
+        for qid in legacy_ft:
             p = parsed[qid]
             bm = bitmaps.get(qid, {})
-            if candidates is not None:
+            if candidates is not None and qid in bitmaps:
                 tree_pred = _tree_sql(p.bool_tree, p.bool_filters, bm,
                                       docs.columns)
                 a = (candidates.filter(F.col("query_id") == qid)

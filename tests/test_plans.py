@@ -190,6 +190,25 @@ def test_filtered_batch_plans_one_documents_scan(spark, built_index):
     assert got == solo and got
 
 
+def test_fast_filter_tree_is_in_shard(spark, built_index):
+    """A monotone filter-leaf tree (`lang:de OR merge`) evaluates fully
+    in-shard: 2 documents scans only (leaf-bits + display join — no
+    per-branch metadata join, no filter-only documents branch), cut ON."""
+    import re
+
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    df = search(spark, io, [(0, "lang:de OR merge")], k=5)
+    plan = _plan(df)
+    n_doc_scans = len(re.findall(r"Location.*documents", plan))
+    assert n_doc_scans == 2, f"expected 2 documents scans, got {n_doc_scans}"
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the legacy path's filter-only branch was a TakeOrderedAndProject over
+    # a third documents scan; the fast path must not plan one
+    got = [tuple(r) for r in df.collect()]
+    assert got  # and correctness is pinned by test_filter_tree + oracle
+
+
 def test_extract_is_arrow_batched(spark, pages):
     """Extraction must run as ArrowEvalPython (pandas UDF), never
     BatchEvalPython (row-at-a-time pickling)."""
