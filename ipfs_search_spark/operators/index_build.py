@@ -312,15 +312,14 @@ def build_index_from_docs(spark: SparkSession, docs: DataFrame, io: TableIO,
     io.write(term_stats.sortWithinPartitions("term"), "term_stats")
     # total_dl (exact integer) rides along so incremental segment appends
     # can derive the merged avgdl by ADDING per-segment sums — the Searcher
-    # then never re-aggregates postings or re-scans documents at init
-    io.write(
-        spark.createDataFrame(
-            [(n_docs, avgdl, n_shards, n_buckets, block_size,
-              bool(positions), total_dl)],
-            "n_docs long, avgdl double, n_shards int, n_buckets int, "
-            "block_size int, positional boolean, total_dl long",
-        ),
+    # then never re-aggregates postings or re-scans documents at init.
+    # write_rows: one row of scalars — written driver-side, no Spark job
+    io.write_rows(
         "index_stats",
+        [(n_docs, avgdl, n_shards, n_buckets, block_size,
+          bool(positions), total_dl)],
+        "n_docs long, avgdl double, n_shards int, n_buckets int, "
+        "block_size int, positional boolean, total_dl long",
     )
     return {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards,
             "n_buckets": n_buckets, "positional": bool(positions)}
@@ -385,14 +384,14 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
         F.sum("df_part").alias("df"),
         F.sum("cf_part").alias("cf")).sortWithinPartitions("term"),
         "term_stats")
-    io.write(spark.createDataFrame(fstats_rows,
-                                   "field string, n_docs long, avgdl double"),
-             "field_stats")
+    io.write_rows("field_stats", [tuple(r) for r in fstats_rows],
+                  "field string, n_docs long, avgdl double")
     n_docs = int(srow["n_all"])
-    io.write(spark.createDataFrame(
+    io.write_rows(
+        "index_stats",
         [(n_docs, 0.0, n_shards, n_buckets, block_size, bool(positions), 0)],
         "n_docs long, avgdl double, n_shards int, n_buckets int, "
-        "block_size int, positional boolean, total_dl long"), "index_stats")
+        "block_size int, positional boolean, total_dl long")
     return {"n_docs": n_docs,
             "fields": {f: (n, a) for f, n, a in fstats_rows}}
 
