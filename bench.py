@@ -386,9 +386,28 @@ def _record_sweep(entry: dict) -> None:
                 hist = json.load(f)
         except (ValueError, OSError):
             hist = []
+    if "engine" not in entry:
+        entry["engine"] = _engine_version()
     hist.append(entry)
     with open(SWEEP_FILE, "w") as f:
         json.dump(hist, f, indent=1)
+
+
+def _engine_version() -> str:
+    """Short git hash of the engine under measurement, so floors can be
+    compared per-version (r4 verdict: a merged ratio whose lo floor is new
+    code and hi floor is old code measures no single engine)."""
+    try:
+        import subprocess
+        out = subprocess.run(["git", "-C", REPO, "rev-parse", "--short",
+                              "HEAD"], capture_output=True, text=True)
+        dirty = subprocess.run(["git", "-C", REPO, "status", "--porcelain",
+                                "--", "ipfs_search_spark", "bench.py"],
+                               capture_output=True, text=True)
+        tag = out.stdout.strip() or "unknown"
+        return tag + ("+dirty" if dirty.stdout.strip() else "")
+    except OSError:
+        return "unknown"
 
 
 def sweep_summary() -> list[dict]:
@@ -413,6 +432,20 @@ def sweep_summary() -> list[dict]:
         hi_runs = [t for e in entries for t in e[f"local{hi}"]["runs"]]
         merged = (min(lo_runs) / min(hi_runs)) / (hi / lo)
         best = max(e["efficiency_n_to_4n"] for e in entries)
+        # per-engine-version floors: a merged ratio is only meaningful when
+        # both level floors come from the SAME build (r4 verdict finding #1)
+        per_engine: dict = {}
+        for e in entries:
+            ver = e.get("engine", "pre-r5")
+            g = per_engine.setdefault(ver, {lo: [], hi: []})
+            g[lo].extend(e[f"local{lo}"]["runs"])
+            g[hi].extend(e[f"local{hi}"]["runs"])
+        engine_rows = {
+            ver: {"lo_floor_sec": round(min(g[lo]), 3),
+                  "hi_floor_sec": round(min(g[hi]), 3),
+                  "merged_floor_eff":
+                      round((min(g[lo]) / min(g[hi])) / (hi / lo), 3)}
+            for ver, g in per_engine.items() if g[lo] and g[hi]}
         out.append({
             "n_pages": n_pages, "levels": list(levels),
             "sessions": len(entries),
@@ -420,6 +453,7 @@ def sweep_summary() -> list[dict]:
             "hi_floor_sec": round(min(hi_runs), 3),
             "best_session_eff": round(best, 3),
             "merged_floor_eff": round(merged, 3),
+            "per_engine": engine_rows,
         })
     return out
 

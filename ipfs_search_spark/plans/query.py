@@ -634,22 +634,28 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             for m in matched:
                 mask &= np.isin(doc_ids, m)
             doc_ids, doc_scores = doc_ids[mask], doc_scores[mask]
-        if bool_spec is not None and doc_ids.size:
+        if bool_spec is not None and (doc_ids.size or fmap is not None):
             # presence matrix over the (doc, group) segments, then evaluate
             # the boolean tree vectorized; phrase keys resolve through the
             # positional matcher (any field variant satisfies the phrase).
             # Scores stay the sum of matched positive clauses — negated
             # leaves carry idf 0, so they gate matching without scoring.
-            seg_groups = grps[seg_idx]
-            seg_ids_b = ids[seg_idx]  # pre-filter segments: a seg_id the
-            # allowed-restriction dropped must not alias another doc's row
-            du = doc_ids.view(np.uint64)
-            su = seg_ids_b.view(np.uint64)
-            rows_idx = np.searchsorted(du, su)
-            rows_c = np.minimum(rows_idx, max(doc_ids.size - 1, 0))
-            valid = du[rows_c] == su
+            # NOTE the gate above: the block must still run with ZERO
+            # surviving candidates whenever filter-leaf docs were shipped
+            # (fmap) — a conjunct filter that empties a shard's term
+            # candidates must not suppress branch B's filter-only matches.
             M = np.zeros((doc_ids.size, n_groups), dtype=bool)
-            M[rows_c[valid], seg_groups[valid]] = True
+            if doc_ids.size:
+                seg_groups = grps[seg_idx]
+                seg_ids_b = ids[seg_idx]  # pre-filter segments: a seg_id
+                # the allowed-restriction dropped must not alias another
+                # doc's row
+                du = doc_ids.view(np.uint64)
+                su = seg_ids_b.view(np.uint64)
+                rows_idx = np.searchsorted(du, su)
+                rows_c = np.minimum(rows_idx, max(doc_ids.size - 1, 0))
+                valid = du[rows_c] == su
+                M[rows_c[valid], seg_groups[valid]] = True
             ph_pres = {}
             for key, vars_ in bool_spec["phrases"].items():
                 mlist = [_match_phrase(pos_data, var) for var in vars_]

@@ -131,6 +131,50 @@ def test_pure_filter_tree_constant_score(spark, env):
     assert ids == sorted(ids)
 
 
+def test_branch_b_survives_conjunct_filter_emptying_candidates(
+        spark, tmp_path_factory):
+    """Regression (r5 ADVICE high): a conjunct filter that eliminates ALL
+    of a shard's term candidates must not suppress that shard's branch-B
+    filter-only matches. Every 'data' doc fails `size:>1000` and every
+    filter-leaf (lang:de) doc lacks 'data', so in EVERY shard the allowed
+    restriction empties the candidate set — the buggy gate skipped the
+    whole tree block (branch B included) and returned nothing."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+
+    docs = spark.createDataFrame(
+        [(str(i), i,
+          "data spark" if i % 2 else "merge block",
+          "en" if i % 2 else "de",
+          10 if i % 2 else 5000,
+          "ok")
+         for i in range(40)],
+        "url string, doc_id long, text string, lang string, size long, "
+        "status string")
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ft-branchb")))
+    build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=8)
+    sx = Searcher(spark, io)
+    rows = sx.search([(0, "size:>1000 (data OR lang:de)")], k=40).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    want = [(i, 1.0) for i in range(40) if i % 2 == 0]
+    assert got == want
+    # and the mixed shape: docs matching BOTH the term and the filter join
+    # the result with their real BM25 score (here idf('data') ≈ 0.61 with
+    # dl = avgdl, i.e. BELOW the 1.0 constant floor — filter-only matches
+    # legitimately outrank low-idf term matches, COVERAGE.md semantics)
+    docs2 = docs.union(spark.createDataFrame(
+        [(str(100 + j), 100 + j, "data merge", "en", 4000, "ok")
+         for j in range(4)], docs.schema))
+    io2 = TableIO(spark, str(tmp_path_factory.mktemp("ft-branchb2")))
+    build_index_from_docs(spark, docs2, io2, n_shards=2, n_buckets=8)
+    rows2 = Searcher(spark, io2).search(
+        [(0, "size:>1000 (data OR lang:de)")], k=44).collect()
+    got2 = [r["doc_id"] for r in rows2]
+    scores2 = {r["doc_id"]: r["score"] for r in rows2}
+    assert got2 == list(range(0, 40, 2)) + [100, 101, 102, 103]
+    assert all(0.0 < scores2[100 + j] < 1.0 for j in range(4))
+
+
 def test_filter_leaf_missing_column_is_false(spark, tmp_path_factory):
     """A filter leaf on a column this index lacks matches nothing (its
     negation everything) — mirror of _filters_pred's references.name
