@@ -292,14 +292,19 @@ def _pos_engine_io(spark: SparkSession, sf_dir: str):
 
 
 def _phrase_oracle_sql(free_terms: list[str], phrase: list[str],
-                       k: int) -> str:
+                       k: int, slop: int = 0) -> str:
     """BM25 over free_terms ∪ phrase terms, restricted to docs where the
-    phrase terms appear adjacent in analyzed order (zipped-unnest ordinality
-    self-join — the SQL mirror of the positional posting intersection)."""
+    phrase terms appear in analyzed order within a window of len+slop
+    tokens (slop=0: exact adjacency). Zipped-unnest ordinality self-join —
+    the SQL mirror of the positional posting probe: the join enumerates
+    every in-order position choice inside the window, so EXISTS semantics
+    come from DISTINCT (for slop=0 the window constraint degenerates to
+    p_i.ord = p0.ord + i, the old adjacency equality)."""
     terms = sorted(set(free_terms) | set(phrase))
     tl = ", ".join(f"'{t}'" for t in terms)
     adj = " AND ".join(
-        f"p{i}.term = '{t}' AND p{i}.ord = p0.ord + {i}" if i else
+        f"p{i}.term = '{t}' AND p{i}.ord > p{i - 1}.ord "
+        f"AND p{i}.ord <= p0.ord + {i + slop}" if i else
         f"p0.term = '{t}'"
         for i, t in enumerate(phrase))
     joins = " ".join(
@@ -582,6 +587,25 @@ def q_phrase_search(spark, sf_dir):
     from ipfs_search_spark.plans.query import search
     io = _pos_engine_io(spark, sf_dir)
     qs = f'{PHRASE_FREE_TERM} "{" ".join(PHRASE_TERMS)}"'
+    raw = search(spark, io, [(0, qs)], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop(spark, sf_dir):
+    """Proximity phrase `"a b"~N` (Lucene query_string slop, order
+    preserved — plans/parser.py grammar): the phrase terms must appear in
+    order within a window of len+N tokens; phrase terms also score."""
+    from ipfs_search_spark.plans.query import search
+    io = _pos_engine_io(spark, sf_dir)
+    qs = (f'{PHRASE_FREE_TERM} '
+          f'"{" ".join(PHRASE_TERMS)}"~{PHRASE_SLOP}')
     raw = search(spark, io, [(0, qs)], k=FLAGSHIP_K + 50)
     rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1453,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
         "q_phrase_search": q_phrase_search,
+        "q_phrase_slop": q_phrase_slop,
         "q_match_all_filter": q_match_all_filter,
         "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
@@ -1586,6 +1611,9 @@ FROM dl
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
+        "q_phrase_slop": _phrase_oracle_sql(
+            [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K,
+            slop=PHRASE_SLOP),
         "q_boolean": f"""
 WITH toks AS (
   SELECT doc_id, term, count(*) AS tf

@@ -62,24 +62,37 @@ class BM25Oracle:
                 s += self.idf(t) * (tf / (tf + denom_k))
         return s
 
-    def phrase_match(self, key, phrase: list[str]) -> bool:
-        """True iff the analyzed phrase terms appear adjacent, in order."""
+    def phrase_match(self, key, phrase: list[str], slop: int = 0) -> bool:
+        """True iff the analyzed phrase terms appear IN ORDER within a
+        window of len(phrase)+slop tokens (slop=0: exact adjacency).
+        Deliberately brute-force (full DFS over position choices) so it
+        shares no code shape with the engine's greedy vectorized chain."""
         toks = self.tokens.get(key)
         if not toks or len(phrase) == 0:
             return False
-        m = len(phrase)
-        return any(toks[i:i + m] == phrase
-                   for i in range(len(toks) - m + 1))
+        m, n = len(phrase), len(toks)
+
+        def dfs(j: int, prev: int, limit: int) -> bool:
+            if j == m:
+                return True
+            return any(toks[p] == phrase[j] and dfs(j + 1, p, limit)
+                       for p in range(prev + 1, min(limit, n - 1) + 1))
+
+        return any(toks[s] == phrase[0] and dfs(1, s, s + m - 1 + slop)
+                   for s in range(n))
 
     def search(self, query_terms: list[str], k: int = 10,
-               mode: str = "or", phrases: list | None = None) -> list[tuple]:
+               mode: str = "or", phrases: list | None = None,
+               slops: list | None = None) -> list[tuple]:
         """Top-k (doc_key, score), OR semantics by default; 'and' requires
         every term present (query-side posting intersection, SURVEY.md §2 J6).
         phrases: required clauses — docs must contain every phrase adjacent,
-        in order; phrase terms must be included in query_terms by the caller
+        in order (or within its slop window when `slops` aligns with
+        phrases); phrase terms must be included in query_terms by the caller
         (parse_query does this) so they also score."""
         uniq = sorted(set(query_terms))
         phrases = phrases or []
+        slops = slops or [0] * len(phrases)
         hits = []
         for key, c in self.tf.items():
             present = [t for t in uniq if t in c]
@@ -87,7 +100,8 @@ class BM25Oracle:
                 continue
             if mode == "and" and len(present) != len(uniq):
                 continue
-            if any(not self.phrase_match(key, ph) for ph in phrases):
+            if any(not self.phrase_match(key, ph, sl)
+                   for ph, sl in zip(phrases, slops)):
                 continue
             hits.append((key, self.score(key, uniq)))
         hits.sort(key=lambda x: (-x[1], x[0]))

@@ -25,10 +25,7 @@ Supported grammar (superset of what the reference's own doc examples use):
   term~ / term~1  fuzzy query (Lucene `~`, edit distance ≤ 2/1; `~0` exact):
                   expands to the MAX_PREFIX_EXPANSIONS vocabulary terms
                   nearest by (levenshtein distance, term) — Lucene's
-                  FuzzyQuery best-terms rewrite; scored as one group.
-                  (`"a b"~N` phrase SLOP is unsupported — error, since
-                  silently treating it as adjacency would be a different
-                  query)
+                  FuzzyQuery best-terms rewrite; scored as one group
   Expansion clauses (prefix/wildcard/fuzzy) compose everywhere a term does:
   negated (`-te*` excludes docs matching ANY expansion term) and as boolean
   tree leaves (`(a OR te*) AND b` — the leaf is present for a doc iff any
@@ -36,6 +33,14 @@ Supported grammar (superset of what the reference's own doc examples use):
   "a b"           phrase: terms must appear ADJACENT in analyzed order
                   (positional index required); quoted phrases are required
                   clauses regardless of mode, and their terms also score
+  "a b"~N         proximity phrase (Lucene query_string slop): the terms
+                  must appear IN ORDER within a window of len+N tokens —
+                  at most N extra tokens between the first and last term.
+                  Deviation from Lucene (documented in COVERAGE.md): the
+                  match must preserve term order — Lucene's slop is an
+                  edit distance that admits reordering at slop ≥ 2.
+                  Composes like any phrase: negated (-"a b"~N) and as a
+                  boolean-tree leaf ("a b"~N OR c)
   -term / NOT t   NOT term (left-anti on the term's doc set)
   -"a b"          NOT phrase (docs containing the exact phrase are excluded)
   a AND b, a OR b boolean operators (uppercase, Lucene query_string rules);
@@ -69,8 +74,8 @@ Filters compose two ways:
 Restrictions (documented, errors not silent semantic changes):
 - a boolean query needs at least one positive clause (pure `NOT x` trees
   match nothing — Lucene behaves the same without an explicit match-all);
-- phrase slop (`"a b"~N`) and fuzzy distances above 2 raise
-  QueryParseError (Lucene also caps edit distance at 2).
+- fuzzy distances above 2 raise QueryParseError (Lucene also caps edit
+  distance at 2); non-integer phrase slop raises QueryParseError.
 
 A query with ONLY filters (no terms/phrases) is match-all-then-filter:
 every doc passing the filters, constant score, ranked by doc_id.
@@ -94,7 +99,8 @@ def _analyze(tok: str) -> list[str]:
 _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
                   "first-seen", "first_seen", "size", "references.name"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
-_TOKEN_RE = re.compile(r'-?"[^"]*"(?:\^[0-9.]+)?|\(|\)|[^\s()]+')
+_TOKEN_RE = re.compile(
+    r'-?"[^"]*"(?:~[0-9.]*)?(?:\^[0-9.]+)?|\(|\)|[^\s()]+')
 _BOOST_RE = re.compile(r"^(.*?)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
 _OPS = {"AND", "OR", "NOT", "(", ")", "-"}
 
@@ -142,6 +148,11 @@ class Query:
     # order (required clauses); not_phrases: docs with the phrase excluded
     phrases: list = field(default_factory=list)
     not_phrases: list = field(default_factory=list)
+    # phrase_slops[i] — proximity window of phrases[i] (`"a b"~N`: at most
+    # N extra tokens between the first and last term, order preserved;
+    # 0 = exact adjacency). not_phrase_slops aligns with not_phrases.
+    phrase_slops: list = field(default_factory=list)
+    not_phrase_slops: list = field(default_factory=list)
     # True when the query string had no scoring clause at all (filters only):
     # match-all semantics rather than empty results
     match_all: bool = False
@@ -149,8 +160,10 @@ class Query:
     # nested tuples/lists ('and'|'or', child...) / ('not', child) over leaf
     # group keys — a term string, or a phrase key present in bool_phrases
     bool_tree: object = None
-    # phrase group key -> analyzed term list (boolean-tree phrases)
+    # phrase group key -> analyzed term list (boolean-tree phrases);
+    # bool_phrase_slops: same key -> slop (missing = 0)
     bool_phrases: dict = field(default_factory=dict)
+    bool_phrase_slops: dict = field(default_factory=dict)
     # leaf terms appearing ONLY under NOT (fetched for presence, never score)
     bool_neg_terms: list = field(default_factory=list)
     # group key -> boost (^N); missing keys default 1.0
@@ -338,11 +351,29 @@ def _parse_expansion(tok: str) -> Expansion | None:
     return Expansion("wildcard", low, 0)
 
 
+_PHRASE_SLOP_RE = re.compile(r'^("[^"]*")~([0-9.]*)$')
+
+
+def _split_slop(tok: str) -> tuple[str, int]:
+    """`"a b"~N` → (`"a b"`, N); no attached slop → (tok, 0). Raises on a
+    malformed distance (`"a b"~` / `~1.5`) — never a silently different
+    query."""
+    m = _PHRASE_SLOP_RE.match(tok)
+    if not m:
+        return tok, 0
+    body, d = m.groups()
+    if not d.isdigit():
+        raise QueryParseError(
+            f"invalid phrase slop {d!r} in {tok!r}: expected a "
+            "non-negative integer (\"a b\"~N)")
+    return body, int(d)
+
+
 def _guard_slop(tok: str) -> None:
     if tok.startswith("~"):
         raise QueryParseError(
-            "phrase slop (\"a b\"~N) is not supported — quoted phrases "
-            "match exact adjacency only")
+            f"dangling {tok!r}: phrase slop must directly follow the "
+            "closing quote (\"a b\"~N)")
 
 
 def _add_expansion(out: Query, exp: Expansion, neg: bool,
@@ -365,6 +396,7 @@ def _parse_flat(out: Query, toks: list[str]) -> None:
         neg = raw.startswith("-") and len(raw) > 1
         tok = raw[1:] if neg else raw
         _guard_slop(tok)
+        tok, slop = _split_slop(tok)
         if tok.startswith('"') and tok.endswith('"'):
             terms = _analyze(tok[1:-1])
             if not terms:
@@ -373,8 +405,10 @@ def _parse_flat(out: Query, toks: list[str]) -> None:
                 (out.not_terms if neg else out.terms).extend(terms)
             elif neg:
                 out.not_phrases.append(terms)
+                out.not_phrase_slops.append(slop)
             else:
                 out.phrases.append(terms)
+                out.phrase_slops.append(slop)
                 out.terms.extend(terms)  # phrase terms also score
             continue
         exp = _parse_expansion(tok)
@@ -490,6 +524,7 @@ class _TreeParser:
             # is inert by design
             node = ("filter", flt, boost)
             return ("not", node) if neg else node
+        body, slop = _split_slop(body)
         if body.startswith('"') and body.endswith('"') and len(body) >= 2:
             terms = _analyze(body[1:-1])
             if not terms:
@@ -497,7 +532,7 @@ class _TreeParser:
             elif len(terms) == 1:
                 node = ("term", terms[0], boost)
             else:
-                node = ("phrase", tuple(terms), boost)
+                node = ("phrase", tuple(terms), boost, slop)
         else:
             exp = _parse_expansion(body)
             if exp is not None:
@@ -536,6 +571,7 @@ def _try_flatten(out: Query, tree) -> bool:
         return True
     if kind == "phrase":
         out.phrases.append(list(tree[1]))
+        out.phrase_slops.append(tree[3])
         out.terms.extend(tree[1])
         for t in tree[1]:
             _boost_set(out, t, tree[2])
@@ -551,6 +587,7 @@ def _try_flatten(out: Query, tree) -> bool:
             return True
         if c[0] == "phrase":
             out.not_phrases.append(list(c[1]))
+            out.not_phrase_slops.append(c[3])
             return True
         if c[0] == "exp":
             _add_expansion(out, c[1], True)
@@ -599,6 +636,7 @@ def _try_flatten(out: Query, tree) -> bool:
             _add_expansion(out, k[1], False, k[2])
         for k in phrases:
             out.phrases.append(list(k[1]))
+            out.phrase_slops.append(k[3])
             out.terms.extend(k[1])
             for t in k[1]:
                 _boost_set(out, t, k[2])
@@ -609,6 +647,7 @@ def _try_flatten(out: Query, tree) -> bool:
                 _add_expansion(out, k[1][1], True)
             else:
                 out.not_phrases.append(list(k[1][1]))
+                out.not_phrase_slops.append(k[1][3])
         return True
     return False
 
@@ -644,8 +683,13 @@ def _encode_tree(out: Query, node, neg_depth: int = 0):
         return t
     if kind == "phrase":
         terms = list(node[1])
-        key = "ph:" + " ".join(terms)
+        slop = node[3]
+        # slop is part of the leaf identity: `"a b" OR "a b"~3` are two
+        # distinct leaves (the slop=0 key keeps its historical form)
+        key = (f"ph~{slop}:" if slop else "ph:") + " ".join(terms)
         out.bool_phrases[key] = terms
+        if slop:
+            out.bool_phrase_slops[key] = slop
         tgt = out.terms if neg_depth % 2 == 0 else out.bool_neg_terms
         tgt.extend(terms)
         for t in terms:

@@ -117,14 +117,23 @@ def _wildcard_regex(pattern: str) -> str:
 _WILD_LIT_RE = re.compile(r"^[a-z0-9]*")
 
 
-def _match_phrase(pos_data: dict, phrase: list):
-    """Docs (int64 array) where `phrase`'s terms appear adjacent, in order.
+def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
+    """Docs (int64 array) where `phrase`'s terms appear IN ORDER within a
+    window of len(phrase)+slop tokens — slop=0 is exact adjacency (the
+    `"a b"` form), slop=N the proximity form `"a b"~N` (at most N extra
+    tokens between the first and last phrase term, order preserved —
+    Lucene query_string sloppy-phrase, restricted to in-order matches;
+    COVERAGE.md documents the no-reorder deviation).
 
-    pos_data: term → (el_doc_ids int64, el_positions int64) — one element per
-    term OCCURRENCE. Fully vectorized: docs are densified, (doc, pos) packed
-    into one int64 key (positions < 2^32 since dl < 2^31), and phrase
-    adjacency is a chain of sorted-membership probes: a start position p
-    survives step i iff (doc, p+i) exists for term i."""
+    pos_data: term → (el_doc_ids int64, el_positions int64) — one element
+    per term OCCURRENCE. Fully vectorized: docs are densified, (doc, pos)
+    packed into one int64 key (positions < 2^32 since dl < 2^31), then a
+    GREEDY chain of sorted lower-bound probes: from each start position of
+    term 0, repeatedly take the smallest occurrence of term i after the
+    current position. Greedy minimizes the chain's end position, so a
+    start matches iff its greedy span fits the window — exact, no
+    backtracking. slop=0 degenerates to the old exact (doc, p+i)
+    membership chain."""
     import numpy as np
 
     empty = np.empty(0, dtype=np.int64)
@@ -141,18 +150,24 @@ def _match_phrase(pos_data: dict, phrase: list):
         key.sort()
         keys.append(key)
     cur = keys[0]
+    start = cur
+    s = np.int64(int(slop))
     for i in range(1, len(keys)):
         nxt = keys[i]
-        probe = cur + np.int64(i)
-        idx = np.searchsorted(nxt, probe)
+        # smallest occurrence of term i strictly after cur, same doc,
+        # within the remaining window budget
+        idx = np.searchsorted(nxt, cur + np.int64(1))
         idx_c = np.minimum(idx, max(nxt.size - 1, 0))
-        ok = (idx < nxt.size)
+        ok = idx < nxt.size
         if nxt.size:
-            ok &= nxt[idx_c] == probe
-        cur = cur[ok]
+            cand = nxt[idx_c]
+            ok &= (cand >> np.int64(32)) == (cur >> np.int64(32))
+            ok &= cand - start <= np.int64(i) + s
+            cur = cand
+        cur, start = cur[ok], start[ok]
         if cur.size == 0:
             return empty
-    return np.unique(all_docs[cur >> np.int64(32)])
+    return np.unique(all_docs[start >> np.int64(32)])
 
 
 def _filters_pred(p: Query, doc_cols) -> str | None:
@@ -358,10 +373,11 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             bj = pdf["bool_json"].iloc[0]
             if bj:
                 bool_spec = _json.loads(bj)
-        phrase_terms = {t for grp in phrases for var in grp for t in var}
+        # each phrase group is [slop, [variant, ...]] (variant = term list)
+        phrase_terms = {t for grp in phrases for var in grp[1] for t in var}
         if bool_spec:
-            phrase_terms |= {t for vars_ in bool_spec["phrases"].values()
-                             for var in vars_ for t in var}
+            phrase_terms |= {t for grp in bool_spec["phrases"].values()
+                             for var in grp[1] for t in var}
         pos_acc: dict = {t: [] for t in phrase_terms}
 
         # excluded docs of this shard: NOT-term postings + NOT-phrase matches
@@ -377,7 +393,8 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 if nj:
                     negp_groups = _json.loads(nj)
             if negp_groups:
-                np_terms = {t for g in negp_groups for var in g for t in var}
+                np_terms = {t for g in negp_groups
+                            for var in g[1] for t in var}
                 acc: dict = {t: [] for t in np_terms}
                 for term_n, blocks in zip(negps_pdf["term"],
                                           negps_pdf["blocks"]):
@@ -395,8 +412,9 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                         tfs_c = np.concatenate([x[1] for x in lst])
                         pos_c = np.concatenate([x[2] for x in lst])
                         pos_data_n[t] = (np.repeat(ids_c, tfs_c), pos_c)
-                for grp in negp_groups:
-                    mlist = [_match_phrase(pos_data_n, var) for var in grp]
+                for slop_n, vars_n in negp_groups:
+                    mlist = [_match_phrase(pos_data_n, var, slop_n)
+                             for var in vars_n]
                     if mlist:
                         excl_parts.append(
                             np.unique(np.concatenate(mlist)))
@@ -452,8 +470,9 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                     pos_data0[t] = (np.repeat(ids_c, tfs_c), pos_c)
             matched_pre = [
                 (np.unique(np.concatenate(
-                    [_match_phrase(pos_data0, var) for var in grp]))
-                 if grp else np.empty(0, np.int64))
+                    [_match_phrase(pos_data0, var, grp[0])
+                     for var in grp[1]]))
+                 if grp[1] else np.empty(0, np.int64))
                 for grp in phrases
             ]
             P = matched_pre[0]
@@ -617,8 +636,9 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             # (precomputed in the two-pass path)
             matched = matched_pre if matched_pre is not None else [
                 (np.unique(np.concatenate(
-                    [_match_phrase(pos_data, var) for var in grp]))
-                 if grp else np.empty(0, np.int64))
+                    [_match_phrase(pos_data, var, grp[0])
+                     for var in grp[1]]))
+                 if grp[1] else np.empty(0, np.int64))
                 for grp in phrases
             ]
             if phrase_mode == "any":
@@ -657,8 +677,9 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 valid = du[rows_c] == su
                 M[rows_c[valid], seg_groups[valid]] = True
             ph_pres = {}
-            for key, vars_ in bool_spec["phrases"].items():
-                mlist = [_match_phrase(pos_data, var) for var in vars_]
+            for key, (slop_b, vars_) in bool_spec["phrases"].items():
+                mlist = [_match_phrase(pos_data, var, slop_b)
+                         for var in vars_]
                 md = (np.unique(np.concatenate(mlist)) if mlist
                       else np.empty(0, np.int64))
                 ph_pres[key] = np.isin(doc_ids, md)
@@ -1185,21 +1206,23 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     # phrase_json = the query's phrase spec for the matching pass.
     import json as _json
 
-    def phrase_groups(phrs):
-        """Each phrase → a group of posting-term variants: one variant per
+    def phrase_groups(phrs, slops=None):
+        """Each phrase → [slop, variants]: one posting-term variant per
         field on fielded indexes (a doc satisfies the phrase if ANY field
         contains the adjacency — OpenSearch multi-field phrase semantics),
         one bare variant on single-field indexes. A variant only exists
-        where every phrase term is in that (field's) vocabulary."""
+        where every phrase term is in that (field's) vocabulary. slop
+        rides the group so the scorer's positional probe widens its
+        window (`"a b"~N`)."""
         groups = []
-        for ph in phrs:
+        for gi, ph in enumerate(phrs):
             if fields:
                 vars_ = [[f"{fld}:{t}" for t in ph]
                          for fld in sorted(fields)
                          if all(f"{fld}:{t}" in tstats for t in ph)]
             else:
                 vars_ = [list(ph)] if all(t in tstats for t in ph) else []
-            groups.append(vars_)
+            groups.append([int(slops[gi]) if slops else 0, vars_])
         return groups
 
     # Conjunct-filter specs for SCORING queries: the allowed doc set of
@@ -1261,16 +1284,18 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         # quoted phrases are required clauses: a group with no live variant
         # (a term absent from every field's vocabulary) cannot match, so the
         # whole query returns nothing
-        pos_groups = phrase_groups(p.phrases)
-        if p.phrases and any(not g for g in pos_groups):
+        pos_groups = phrase_groups(p.phrases, p.phrase_slops)
+        if p.phrases and any(not g[1] for g in pos_groups):
             continue
         phrase_json = _json.dumps(pos_groups) if p.phrases else ""
-        live_np = [g for g in phrase_groups(p.not_phrases) if g]
+        live_np = [g for g in phrase_groups(p.not_phrases,
+                                            p.not_phrase_slops) if g[1]]
         negp_json = _json.dumps(live_np) if live_np else ""
         bool_json = ""
         if p.bool_tree is not None:
-            bphrases = {key: phrase_groups([terms])[0]
-                        for key, terms in p.bool_phrases.items()}
+            bphrases = {key: phrase_groups(
+                [terms], [p.bool_phrase_slops.get(key, 0)])[0]
+                for key, terms in p.bool_phrases.items()}
             spec = {"tree": p.bool_tree, "phrases": bphrases}
             if p.bool_filters and ft_fast:
                 # in-shard tree evaluation: filter leaves resolve through
@@ -1385,7 +1410,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             av = fstats[ft.split(":", 1)[0]][1] if fields else avgdl
             qterm_rows.append((qid, ft, 0.0, kn, 1.0, ft, av,
                                0, "", "", ka, fl))
-        for ft in sorted({t for g in live_np for var in g for t in var}):
+        for ft in sorted({t for g in live_np for var in g[1] for t in var}):
             # variants already carry posting-term keys (fielded or bare)
             qterm_rows.append((qid, ft, 0.0, knp, 1.0, ft, avgdl,
                                0, negp_json, "", ka, fl))

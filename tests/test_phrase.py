@@ -162,6 +162,104 @@ def test_single_word_phrase_is_plain_term(spark, pos_index, oracle):
     assert a == b
 
 
+# --- phrase slop ("a b"~N) --------------------------------------------------
+
+def test_slop_parse():
+    from ipfs_search_spark.plans.parser import QueryParseError, parse_query
+    p = parse_query('"data spark"~2')
+    assert p.phrases == [["data", "spark"]] and p.phrase_slops == [2]
+    p2 = parse_query('-"data spark"~1 merge')
+    assert p2.not_phrases == [["data", "spark"]]
+    assert p2.not_phrase_slops == [1]
+    p3 = parse_query('("data spark"~3 OR merge) AND index')
+    assert p3.bool_phrases == {"ph~3:data spark": ["data", "spark"]}
+    assert p3.bool_phrase_slops == {"ph~3:data spark": 3}
+    # plain phrases keep slop 0 and the historical leaf key
+    p4 = parse_query('("data spark" OR merge) AND index')
+    assert p4.bool_phrases == {"ph:data spark": ["data", "spark"]}
+    assert p4.bool_phrase_slops == {}
+    for bad in ('"data spark"~', '"data spark"~1.5', '"data spark" ~2'):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+def test_slop_window_semantics(spark, tmp_path):
+    """Deterministic planted positions: `"alpha beta"~N` matches iff beta
+    follows alpha with at most N intervening tokens; order is preserved
+    (COVERAGE.md deviation: no reordering, unlike Lucene slop >= 2)."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+    docs = spark.createDataFrame(
+        [("u1", 1, "alpha beta pad", "en", "ok"),
+         ("u2", 2, "alpha pad beta", "en", "ok"),
+         ("u3", 3, "alpha pad pad beta", "en", "ok"),
+         ("u4", 4, "beta alpha pad", "en", "ok"),
+         ("u5", 5, "alpha pad pad pad beta", "en", "ok"),
+         ("u6", 6, "alpha pad beta pad gamma", "en", "ok")],
+        "url string, doc_id long, text string, lang string, status string")
+    io = TableIO(spark, str(tmp_path / "slop-ix"))
+    build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=4,
+                          positions=True)
+    want = {0: {1}, 1: {1, 2, 6}, 2: {1, 2, 3, 6}, 3: {1, 2, 3, 5, 6}}
+    for slop, exp in want.items():
+        got = _run(spark, io, [(0, f'"alpha beta"~{slop}')],
+                   k=100).get(0, [])
+        assert {d for _, d, _ in got} == exp, slop
+    # 3-term window: budget is shared across the whole phrase
+    g3 = {s: {d for _, d, _ in
+              _run(spark, io, [(0, f'"alpha beta gamma"~{s}')],
+                   k=100).get(0, [])}
+          for s in (1, 2, 3)}
+    assert g3 == {1: set(), 2: {6}, 3: {6}}
+    # order preserved: doc 4 (beta before alpha) never matches
+    assert all(4 not in v for v in g3.values())
+
+
+def test_slop_zero_is_exact_adjacency(spark, pos_index):
+    io, _ = pos_index
+    a = _run(spark, io, [(0, '"data spark"')], k=10**6).get(0, [])
+    b = _run(spark, io, [(0, '"data spark"~0')], k=10**6).get(0, [])
+    assert a == b and a
+
+
+def test_slop_rank_identity(spark, pos_index, oracle):
+    """Engine vs brute-force DFS oracle on the fixture corpus, growing
+    monotonically with slop and bounded by the AND doc set."""
+    io, _ = pos_index
+    prev: set = set()
+    anded = {d for _, d, _ in
+             _run(spark, io, [(0, "data spark")], k=10**6,
+                  mode="and").get(0, [])}
+    for slop in (0, 1, 3, 8):
+        got = _run(spark, io, [(0, f'"data spark"~{slop}')],
+                   k=10**6).get(0, [])
+        exp = oracle.search(["data", "spark"], k=10**6,
+                            phrases=[["data", "spark"]], slops=[slop])
+        assert [d for _, d, _ in got] == [d for d, _ in exp], slop
+        for (_, _, s_got), (_, s_exp) in zip(got, exp):
+            assert abs(s_got - s_exp) <= 1e-9
+        cur = {d for _, d, _ in got}
+        assert prev <= cur <= anded
+        prev = cur
+    assert len(prev) > len(
+        {d for _, d, _ in _run(spark, io, [(0, '"data spark"')],
+                               k=10**6).get(0, [])})
+
+
+def test_slop_negation_and_tree_leaf(spark, pos_index, oracle):
+    io, _ = pos_index
+    # -"a b"~N excludes the sloppy matches
+    got = _run(spark, io, [(0, 'data -"data spark"~2')], k=10**6).get(0, [])
+    exp = {key for key, _ in oracle.search(["data"], k=10**9)
+           if not oracle.phrase_match(key, ["data", "spark"], 2)}
+    assert {d for _, d, _ in got} == exp
+    # tree leaf: ("a b"~2 OR zzz) AND data == sloppy-phrase ∩ data here
+    tree = _run(spark, io, [(0, '("data spark"~2 OR zzznotaterm) AND data')],
+                k=10**6).get(0, [])
+    solo = _run(spark, io, [(0, '"data spark"~2')], k=10**6).get(0, [])
+    assert {d for _, d, _ in tree} == {d for _, d, _ in solo}
+
+
 # --- match-all / filter-only ----------------------------------------------
 
 def test_match_all_filter_only(spark, pos_index):

@@ -56,7 +56,9 @@ def test_parse_prefix_nested_tree_leaf():
 
 
 def test_parse_malformed_wildcard_fuzzy_rejected():
-    for bad in ['"a b"~2', "term~3", "te*m~1", "***", "a%b*c"]:
+    # ('"a b"~2' is phrase slop since r5 — positive coverage in
+    # tests/test_phrase.py::test_slop_parse)
+    for bad in ['"a b"~x', "term~3", "te*m~1", "***", "a%b*c"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
 
