@@ -394,20 +394,29 @@ def _record_sweep(entry: dict) -> None:
 
 
 def _engine_version() -> str:
-    """Short git hash of the engine under measurement, so floors can be
-    compared per-version (r4 verdict: a merged ratio whose lo floor is new
-    code and hi floor is old code measures no single engine)."""
-    try:
-        import subprocess
-        out = subprocess.run(["git", "-C", REPO, "rev-parse", "--short",
-                              "HEAD"], capture_output=True, text=True)
-        dirty = subprocess.run(["git", "-C", REPO, "status", "--porcelain",
-                                "--", "ipfs_search_spark", "bench.py"],
-                               capture_output=True, text=True)
-        tag = out.stdout.strip() or "unknown"
-        return tag + ("+dirty" if dirty.stdout.strip() else "")
-    except OSError:
-        return "unknown"
+    """Source hash of the callables on the scaling build's timed path, so
+    floors are compared per BUILD version (r4 verdict: a merged ratio
+    whose lo floor is new code and hi floor is old code measures no
+    single engine). Keyed on the hot-path function sources — not the repo
+    commit or whole files — so query-side work and additive maintenance
+    code (e.g. compaction) don't fragment the floor groups."""
+    import hashlib
+    import inspect
+    from ipfs_search_spark import catalog, fixtures, session
+    from ipfs_search_spark.functions import codec, extract, tokenize
+    from ipfs_search_spark.operators import index_build as ib
+    units = [ib.latest_pages, ib.canonical_documents, ib._make_encoder,
+             ib.doc_stats_sums, ib.build_postings, ib.build_index,
+             ib.build_index_from_docs, catalog.TableIO,
+             fixtures.pages_df_distributed, session.get_spark,
+             tokenize, extract, codec]
+    h = hashlib.sha1()
+    for u in units:
+        try:
+            h.update(inspect.getsource(u).encode())
+        except (OSError, TypeError):
+            h.update(repr(u).encode())
+    return "build-" + h.hexdigest()[:10]
 
 
 def sweep_summary() -> list[dict]:

@@ -86,8 +86,9 @@ class TableIO:
         createDataFrame, scheduling, commit protocol — ~0.7 s of pure
         driver latency per build for one row of numbers; that fixed cost
         is exactly what caps strong-scaling efficiency at bench sizes. On
-        the parquet fallback this writes the file directly with pyarrow
-        (atomic via rename); Spark reads it identically. Iceberg keeps the
+        the parquet fallback this writes the file directly with pyarrow,
+        swapped in via _swap_dir (see its caveat on the brief no-dir
+        window); Spark reads it identically. Iceberg keeps the
         transactional Spark path. `schema` is the same DDL string the
         Spark path would use."""
         if self.iceberg:
@@ -109,14 +110,44 @@ class TableIO:
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         open(os.path.join(tmp, "_SUCCESS"), "a").close()
-        if os.path.isdir(dest):
-            old = dest + ".old-" + uuid.uuid4().hex[:8]
-            os.rename(dest, old)
+        self._swap_dir(tmp, dest)
+
+    @staticmethod
+    def _swap_dir(tmp: str, dest: str) -> None:
+        """Replace `dest` with `tmp` via two renames. POSIX cannot
+        atomically exchange two non-empty directories, so there is a
+        microsecond window where `dest` does not exist (a concurrent
+        reader listing it mid-swap fails and should retry) — but never a
+        window where it holds MIXED old+new files, and a failure at any
+        point restores the old directory instead of stranding it under a
+        random .old- name. Iceberg's transactional commit replaces this
+        entirely in production."""
+        if not os.path.isdir(dest):
             os.rename(tmp, dest)
-            import shutil
-            shutil.rmtree(old, ignore_errors=True)
-        else:
+            return
+        old = dest + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(dest, old)
+        try:
             os.rename(tmp, dest)
+        except OSError:
+            os.rename(old, dest)  # restore — the swap never half-applies
+            raise
+        import shutil
+        shutil.rmtree(old, ignore_errors=True)
+
+    def drop(self, name: str) -> None:
+        """Remove a table (no-op when absent). Parquet fallback: rename
+        out of the root first so readers never see a half-deleted dir."""
+        if self.iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._path(name)}")
+            return
+        p = self._path(name)
+        if not os.path.isdir(p):
+            return
+        tomb = p + ".dropped-" + uuid.uuid4().hex[:8]
+        os.rename(p, tomb)
+        import shutil
+        shutil.rmtree(tomb, ignore_errors=True)
 
     def tables(self) -> list[str]:
         """Names of existing engine tables under this root."""

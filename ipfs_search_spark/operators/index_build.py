@@ -401,6 +401,16 @@ def merge_term_shards(postings: DataFrame,
     """Compaction: k-way merge per-shard runs → one global docid-sorted
     posting list per term (single-segment layout, FIXTURES.md §4). Second
     groupBy level of the salted build (SURVEY.md §7 milestone 2)."""
+    return postings.groupBy("term").applyInPandas(
+        _make_run_merger(block_size, per_shard=False), POSTINGS_SCHEMA)
+
+
+def _make_run_merger(block_size: int, per_shard: bool):
+    """Merger for one pandas group of posting rows (runs of the same term):
+    k-way merges the runs into one docid-sorted posting row. per_shard=True
+    groups by (term, shard) and PRESERVES the doc-sharded layout (segment
+    compaction); per_shard=False collapses across shards into shard=-1
+    (the single-segment export layout)."""
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         from ipfs_search_spark.functions.codec import (
@@ -445,11 +455,157 @@ def merge_term_shards(postings: DataFrame,
                                block_size=block_size)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
-            "shard": [-1],
+            "shard": [int(pdf["shard"].iloc[0]) if per_shard else -1],
             "bucket": [int(pdf["bucket"].iloc[0])],
             "df_part": [int(ids.size)],
             "cf_part": [int(tfs.sum())],
             "blocks": [blocks],
         })
 
-    return postings.groupBy("term").applyInPandas(merge_group, POSTINGS_SCHEMA)
+    return merge_group
+
+
+COMPACTION_MANIFEST = "_compaction_manifest"
+_STAGING_POSTINGS = "_compacting_postings"
+_STAGING_TERM_STATS = "_compacting_term_stats"
+
+
+def compact_segments(spark: SparkSession, io: TableIO,
+                     block_size: int = BLOCK_SIZE) -> dict:
+    """Fold streaming posting segments back into the base tables — the
+    Lucene merge-down the reference gets from its OpenSearch backend's
+    segment merges. posting_segments grows one segment per micro-batch
+    (streaming/ingest_stream.py); compaction restores the from-scratch
+    layout: ONE docid-sorted posting row per (term, shard), exact merged
+    term_stats/index_stats by INTEGER ADDITION of the per-segment stats
+    (the same math Searcher init proves at query time), and the segment
+    tables dropped — a subsequent Searcher reads base tables only.
+
+    Only (term, shard) cells that actually appear in a segment are
+    re-encoded; untouched base rows pass through unchanged — at web scale
+    segments are micro-batch-sized, so compaction cost tracks the NEW
+    data, not the index size.
+
+    Crash story (two-phase, resumable): phase 1 stages the merged
+    postings/term_stats under staging names invisible to Searcher — a
+    crash there leaves the live index untouched. Writing the manifest
+    (atomic dir swap) is the commit point. Phase 2 installs: swap staging
+    over live, refresh index_stats from the manifest, drop the segment
+    tables, drop the manifest — every step idempotent, so re-invoking
+    compact_segments after a crash resumes and completes the install
+    (on entry it finishes a pending manifest before anything else).
+    Like Lucene's merges, compaction must not run concurrently with
+    ingest appends or Searcher construction.
+
+    Requires per-segment stats coverage (segment_term_stats /
+    segment_doc_stats rows for every segment) — the same gate the
+    incremental Searcher applies; raises ValueError on a legacy segment
+    rather than silently undercounting df/n_docs."""
+    if io.exists(COMPACTION_MANIFEST):
+        return _install_compaction(io)
+    if not io.exists("posting_segments"):
+        return {"segments_folded": 0}
+    if not io.exists("index_stats"):
+        raise ValueError(
+            "compact_segments needs index_stats for the base layout "
+            "parameters (n_shards/n_buckets/positional)")
+    st = io.read("index_stats").collect()[0].asDict()
+    if st.get("total_dl") is None:
+        raise ValueError(
+            "compact_segments needs the base total_dl (rebuild the base "
+            "index, or compact via a full rebuild)")
+    seg = io.read("posting_segments")
+    seg_ids = {r[0] for r in
+               seg.select("segment_id").distinct().collect()}
+
+    def _stat_ids(table):
+        if not io.exists(table):
+            return set()
+        return {r[0] for r in io.read(table)
+                .select("segment_id").distinct().collect()}
+    if not (seg_ids <= _stat_ids("segment_term_stats")
+            and seg_ids <= _stat_ids("segment_doc_stats")):
+        raise ValueError(
+            "compact_segments: a postings segment lacks its per-segment "
+            "stats rows (legacy append?) — merged statistics would "
+            "silently undercount; rebuild instead")
+
+    # phase 1 — stage merged postings: only segment-touched (term, shard)
+    # cells re-encode
+    n_buckets = int(st["n_buckets"])
+    segp = seg.drop("segment_id")
+    has_base = io.exists("postings")
+    if has_base:
+        base = io.read("postings")
+        keys = segp.select("term", "shard").distinct()
+        untouched = base.join(keys, ["term", "shard"], "left_anti")
+        to_merge = base.join(keys, ["term", "shard"], "left_semi") \
+            .unionByName(segp)
+    else:
+        untouched, to_merge = None, segp
+    merged = to_merge.groupBy("term", "shard").applyInPandas(
+        _make_run_merger(block_size, per_shard=True), POSTINGS_SCHEMA)
+    newp = (untouched.unionByName(merged) if untouched is not None
+            else merged)
+    io.write(newp.repartition(n_buckets, "bucket")
+             .sortWithinPartitions("term", "shard"),
+             _STAGING_POSTINGS, partition_by=["bucket"])
+
+    # stage merged term_stats (integer df/cf addition — bit-identical to
+    # a from-scratch re-aggregation, same as Searcher's incremental path)
+    seg_ts = io.read("segment_term_stats").drop("segment_id")
+    ts = (io.read("term_stats").unionByName(seg_ts) if has_base
+          else seg_ts)
+    io.write(ts.groupBy("term").agg(
+        F.first("bucket").alias("bucket"),
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf")).sortWithinPartitions("term"),
+        _STAGING_TERM_STATS)
+
+    srow = io.read("segment_doc_stats").agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
+    ).collect()[0]
+    n_docs = int(st["n_docs"]) + int(srow["n"] or 0)
+    total_dl = int(st["total_dl"]) + int(srow["dl"] or 0)
+    # commit point: the manifest carries the full post-compaction
+    # index_stats row
+    io.write_rows(
+        COMPACTION_MANIFEST,
+        [(n_docs, float(total_dl) / n_docs if n_docs else 0.0,
+          int(st["n_shards"]), n_buckets, int(st["block_size"]),
+          bool(st["positional"]), total_dl, len(seg_ids))],
+        "n_docs long, avgdl double, n_shards int, n_buckets int, "
+        "block_size int, positional boolean, total_dl long, "
+        "segments_folded long")
+    return _install_compaction(io)
+
+
+def _install_compaction(io: TableIO) -> dict:
+    """Phase 2 of compact_segments: every step is an idempotent
+    swap/overwrite/drop keyed off the manifest, so this completes a
+    partially-installed compaction regardless of where a crash hit."""
+    m = io.read(COMPACTION_MANIFEST).collect()[0].asDict()
+    for staging, live, parts in ((_STAGING_POSTINGS, "postings",
+                                  ["bucket"]),
+                                 (_STAGING_TERM_STATS, "term_stats",
+                                  None)):
+        if not io.exists(staging):
+            continue  # already installed by a previous attempt
+        if io.iceberg:
+            io.write(io.read(staging), live, partition_by=parts)
+            io.drop(staging)
+        else:
+            io._swap_dir(io._path(staging), io._path(live))
+    io.write_rows(
+        "index_stats",
+        [(int(m["n_docs"]), float(m["avgdl"]), int(m["n_shards"]),
+          int(m["n_buckets"]), int(m["block_size"]),
+          bool(m["positional"]), int(m["total_dl"]))],
+        "n_docs long, avgdl double, n_shards int, n_buckets int, "
+        "block_size int, positional boolean, total_dl long")
+    for t in ("posting_segments", "segment_term_stats",
+              "segment_doc_stats"):
+        io.drop(t)
+    io.drop(COMPACTION_MANIFEST)
+    return {"segments_folded": int(m["segments_folded"]),
+            "n_docs": int(m["n_docs"])}

@@ -121,6 +121,126 @@ def test_legacy_segment_without_stats_falls_back(spark):
         _results(Searcher(spark, io_full2))
 
 
+def test_compact_segments_matches_rebuild(spark):
+    """N micro-batch appends → compact_segments → Searcher reads BASE
+    tables only (segments gone, plan-asserted no postings/segment scan in
+    the stats plan), every score bit-identical to both the pre-compaction
+    segmented index and a from-scratch rebuild, and the from-scratch
+    layout invariant (ONE posting row per (term, shard)) restored."""
+    from ipfs_search_spark.operators.index_build import compact_segments
+    all_pages = pages_df(spark, n=400, seed=91).cache()
+    base = all_pages.limit(250).cache()
+    rest = all_pages.subtract(base).cache()
+    b1 = rest.limit(70).cache()
+    b2 = rest.subtract(b1)
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-compact-"))
+    build_index(spark, base, io, n_shards=4, n_buckets=16)
+    handle = incremental_index_microbatch(io, n_shards=4, n_buckets=16)
+    handle(b1, batch_id=1)
+    handle(b2, batch_id=2)
+    before = _results(Searcher(spark, io))
+
+    out = compact_segments(spark, io)
+    assert out["segments_folded"] == 2
+    for t in ("posting_segments", "segment_term_stats",
+              "segment_doc_stats", "_compaction_manifest",
+              "_compacting_postings", "_compacting_term_stats"):
+        assert not io.exists(t), t
+
+    sx = Searcher(spark, io)  # include_segments auto-detects: none left
+    after = _results(sx)
+    assert after == before
+    io_full = TableIO(spark, tempfile.mkdtemp(prefix="isx-compactfull-"))
+    build_index(spark, all_pages, io_full, n_shards=4, n_buckets=16)
+    assert after == _results(Searcher(spark, io_full))
+
+    # one docid-sorted posting row per (term, shard) — rebuild layout
+    assert (io.read("postings").groupBy("term", "shard").count()
+            .filter("count > 1").count()) == 0
+    # stats came from index_stats + term_stats alone: no postings or
+    # segment-table scan anywhere in the term_stats plan
+    plan = sx.term_stats._sc._jvm.PythonSQLUtils.explainString(
+        sx.term_stats._jdf.queryExecution(), "formatted")
+    assert "/postings" not in plan and "segment" not in plan
+    # idempotent no-op on an already-compacted index
+    assert compact_segments(spark, io)["segments_folded"] == 0
+
+
+def test_compact_segments_resumes_after_crash(spark, monkeypatch):
+    """A crash between the manifest commit point and the install leaves
+    the live index untouched; re-invoking compact_segments resumes the
+    install from the manifest and completes it."""
+    import ipfs_search_spark.operators.index_build as ib
+    all_pages = pages_df(spark, n=250, seed=92).cache()
+    base = all_pages.limit(180).cache()
+    rest = all_pages.subtract(base).cache()
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-compactcrash-"))
+    build_index(spark, base, io, n_shards=4, n_buckets=16)
+    handle = incremental_index_microbatch(io, n_shards=4, n_buckets=16)
+    handle(rest, batch_id=1)
+    before = _results(Searcher(spark, io))
+
+    real_install = ib._install_compaction
+    monkeypatch.setattr(ib, "_install_compaction",
+                        lambda _io: (_ for _ in ()).throw(
+                            RuntimeError("crash at commit point")))
+    with pytest.raises(RuntimeError, match="commit point"):
+        ib.compact_segments(spark, io)
+    # manifest committed, live tables untouched (still segmented + correct)
+    assert io.exists(ib.COMPACTION_MANIFEST)
+    assert io.exists("posting_segments")
+    assert _results(Searcher(spark, io)) == before
+
+    monkeypatch.setattr(ib, "_install_compaction", real_install)
+    out = ib.compact_segments(spark, io)  # resumes from the manifest
+    assert out["segments_folded"] == 1
+    assert not io.exists(ib.COMPACTION_MANIFEST)
+    assert _results(Searcher(spark, io)) == before
+
+
+def test_compact_segments_positional(spark):
+    """Compaction preserves positions: phrase queries over the compacted
+    index match the segmented union bit-for-bit."""
+    from ipfs_search_spark.operators.index_build import compact_segments
+    all_pages = pages_df(spark, n=300, seed=93).cache()
+    base = all_pages.limit(200).cache()
+    rest = all_pages.subtract(base).cache()
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-compactpos-"))
+    build_index(spark, base, io, n_shards=4, n_buckets=16, positions=True)
+    handle = incremental_index_microbatch(io, n_shards=4, n_buckets=16,
+                                          positions=True)
+    handle(rest, batch_id=1)
+    phrase_qs = [(0, '"data spark"'), (1, 'value "table key"~2')]
+    before = _results(Searcher(spark, io), queries=phrase_qs)
+    compact_segments(spark, io)
+    sx = Searcher(spark, io)
+    assert sx.positional
+    assert _results(sx, queries=phrase_qs) == before
+    assert any(before.values())
+
+
+def test_compact_segments_refuses_uncovered_segment(spark):
+    """A postings segment lacking its per-segment stats rows must make
+    compaction raise (merged stats would silently undercount) — same gate
+    as the incremental Searcher, but hard instead of a fallback."""
+    from ipfs_search_spark.operators.index_build import compact_segments
+    all_pages = pages_df(spark, n=200, seed=94).cache()
+    base = all_pages.limit(150).cache()
+    rest = all_pages.subtract(base).cache()
+
+    io = TableIO(spark, tempfile.mkdtemp(prefix="isx-compactlegacy-"))
+    build_index(spark, base, io, n_shards=4, n_buckets=16)
+    handle = incremental_index_microbatch(io, n_shards=4, n_buckets=16)
+    handle(rest, batch_id=1)
+    import shutil
+    shutil.rmtree(io._path("segment_doc_stats"))
+    with pytest.raises(ValueError, match="per-segment stats"):
+        compact_segments(spark, io)
+
+
 def test_resighted_urls_not_reindexed(spark):
     pages = pages_df(spark, n=120, seed=5).cache()
     io = TableIO(spark, tempfile.mkdtemp(prefix="isx-reseen-"))
