@@ -1398,7 +1398,11 @@ def q_multimodal_meta(spark, sf_dir):
                         b"\x08\x02\x00\x00\x00")
                 out.append(b"\x89PNG\r\n\x1a\n" + ihdr + payload)
             else:
-                out.append(payload)
+                # \x00 prefix: a corpus text starting with 'BM' or
+                # 'GIF87a' would otherwise sniff as bmp/gif in
+                # header_decode while the oracle labels it 'unknown'
+                # (ADVICE r5 low)
+                out.append(b"\x00" + payload)
         return pd.Series(out)
 
     blobs = docs.select(F.col("doc_id").cast("string").alias("url"),
@@ -1917,10 +1921,11 @@ WITH b AS (
               WHEN doc_id % 3 = 1 THEN 'png'
               ELSE 'unknown' END AS format,
          -- planted header sizes: jpeg SOI+APP0+SOF0 = 2+18+19 = 39,
-         -- png signature+IHDR(no CRC) = 8+21 = 29
+         -- png signature+IHDR(no CRC) = 8+21 = 29, unknown = 1-byte
+         -- \\x00 guard prefix (never a sniffable magic)
          octet_length(encode(text)) +
          CASE WHEN doc_id % 3 = 0 THEN 39
-              WHEN doc_id % 3 = 1 THEN 29 ELSE 0 END AS n_bytes,
+              WHEN doc_id % 3 = 1 THEN 29 ELSE 1 END AS n_bytes,
          CASE WHEN doc_id % 3 = 2 THEN NULL
               ELSE doc_id % 999 + 1 END AS w,
          CASE WHEN doc_id % 3 = 2 THEN NULL

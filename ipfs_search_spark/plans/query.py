@@ -992,8 +992,52 @@ class Searcher:
             return {t: self._term_cache[t] for t in terms
                     if t in self._term_cache}
         return {r["term"]: (int(r["df"]), int(r["bucket"]))
-                for r in self.term_stats
-                .filter(F.col("term").isin(terms)).collect()}
+                for r in self._lookup_scan(terms).collect()}
+
+    # --- uncached vocabulary scans ------------------------------------
+    # Exposed un-collected so tests can assert the parquet pushdown
+    # (tests/test_plans.py): term_stats is written term-sorted, so these
+    # predicates prune row groups via min/max stats — the at-scale path
+    # when the vocabulary exceeds TERM_CACHE_MAX.
+
+    def _lookup_scan(self, terms: list):
+        """Exact-term lookup: In(term, ...) pushes to the parquet scan."""
+        return self.term_stats.filter(F.col("term").isin(terms))
+
+    def _prefix_scan(self, prefix: str, cap: int):
+        """Prefix range: StringStartsWith pushes → a contiguous row-group
+        range over the term-sorted table."""
+        return (self.term_stats
+                .filter(F.col("term").startswith(prefix))
+                .orderBy("term").limit(cap))
+
+    def _wildcard_scan(self, head: str, pattern: str, cap: int):
+        """General wildcard: the literal head before the first metachar
+        pushes as StringStartsWith (a leading metachar scans the whole
+        vocabulary, like Lucene allow_leading_wildcard); the regex
+        evaluates post-scan."""
+        return (self.term_stats
+                .filter(F.col("term").startswith(head) &
+                        F.col("term").rlike(pattern))
+                .orderBy("term").limit(cap))
+
+    def _fuzzy_scan(self, pre: str, base: str, dist: int, cap: int):
+        """Fuzzy candidates: the field prefix (fielded indexes) pushes as
+        StringStartsWith; the length band + levenshtein evaluate
+        post-scan (edit distance admits a changed FIRST character, so no
+        bare-term prefix can prune — Lucene walks its term automaton
+        instead, the columnar analogue being exactly this pruned scan)."""
+        lo, hi = len(base) - dist, len(base) + dist
+        bare_col = (F.col("term").substr(F.lit(len(pre) + 1),
+                                         F.length("term"))
+                    if pre else F.col("term"))
+        df = self.term_stats
+        if pre:
+            df = df.filter(F.col("term").startswith(pre))
+        return (df.filter(F.length(bare_col).between(lo, hi))
+                .withColumn("_d", F.levenshtein(bare_col, F.lit(base)))
+                .filter(F.col("_d") <= dist)
+                .orderBy("_d", "term").limit(cap))
 
     def expand_prefix(self, prefix: str,
                       max_expansions: int | None = None) -> dict:
@@ -1008,9 +1052,7 @@ class Searcher:
             terms = sorted(t for t in self._term_cache
                            if t.startswith(prefix))[:cap]
             return {t: self._term_cache[t] for t in terms}
-        rows = (self.term_stats
-                .filter(F.col("term").startswith(prefix))
-                .orderBy("term").limit(cap).collect())
+        rows = self._prefix_scan(prefix, cap).collect()
         return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
 
     def expand(self, exp: Expansion, field: str | None = None,
@@ -1044,10 +1086,7 @@ class Searcher:
                                if t.startswith(pre + lit) and rx.match(t)
                                )[:cap]
                 return {t: self._term_cache[t] for t in terms}
-            rows = (self.term_stats
-                    .filter(F.col("term").startswith(pre + lit) &
-                            F.col("term").rlike(rx.pattern))
-                    .orderBy("term").limit(cap).collect())
+            rows = self._wildcard_scan(pre + lit, rx.pattern, cap).collect()
             return {r["term"]: (int(r["df"]), int(r["bucket"]))
                     for r in rows}
         # fuzzy: candidates within the length band, ranked (distance, term)
@@ -1066,16 +1105,7 @@ class Searcher:
                     cand.append((d, t))
             cand.sort()
             return {t: self._term_cache[t] for _, t in cand[:cap]}
-        bare_col = (F.col("term").substr(F.lit(len(pre) + 1),
-                                         F.length("term"))
-                    if pre else F.col("term"))
-        df = self.term_stats
-        if pre:
-            df = df.filter(F.col("term").startswith(pre))
-        rows = (df.filter(F.length(bare_col).between(lo, hi))
-                .withColumn("_d", F.levenshtein(bare_col, F.lit(base)))
-                .filter(F.col("_d") <= dist)
-                .orderBy("_d", "term").limit(cap).collect())
+        rows = self._fuzzy_scan(pre, base, dist, cap).collect()
         return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
 
     def field_stats(self) -> dict:

@@ -218,3 +218,46 @@ def test_extract_is_arrow_batched(spark, pages):
     plan = _plan(out)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_uncached_vocab_scans_push_down(spark, built_index):
+    """The at-scale vocabulary path (cache_terms=False — web-scale vocab
+    exceeds TERM_CACHE_MAX): every expansion/lookup scan over the
+    term-sorted term_stats table must push its pruning predicate into the
+    parquet source (r4 verdict next #6). Row-group min/max stats on the
+    sorted term column then skip everything outside the probed range."""
+    from ipfs_search_spark.plans.query import Searcher
+    io, _ = built_index
+    sx = Searcher(spark, io, cache_terms=False)
+    assert sx._term_cache is None
+
+    def pushed(df) -> str:
+        plan = _plan(df)
+        assert "PushedFilters:" in plan
+        return plan.split("PushedFilters:")[1][:300]
+
+    # exact lookup: In(term, ...)
+    p = pushed(sx._lookup_scan(["data", "merge"]))
+    assert "In(term" in p
+    # prefix: StringStartsWith range
+    p = pushed(sx._prefix_scan("da", 50))
+    assert "StartsWith(term,da" in p
+    # wildcard: the literal head pushes; the regex evaluates post-scan
+    p = pushed(sx._wildcard_scan("da", "^da[a-z0-9]*a$", 50))
+    assert "StartsWith(term,da" in p
+    # fuzzy on a fielded namespace: the field prefix pushes
+    p = pushed(sx._fuzzy_scan("title:", "data", 1, 50))
+    assert "StartsWith(term,title:" in p
+    # bare fuzzy cannot prefix-prune (distance admits a changed first
+    # char) but must still prune columns to the 3 stats columns
+    plan = _plan(sx._fuzzy_scan("", "data", 1, 50))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "term" in rs and "df" in rs and "blocks" not in rs
+
+    # and the uncached surface answers identically to the cached one
+    cached = Searcher(spark, io)  # small vocab → cached
+    assert cached._term_cache is not None
+    qs = [(0, "da* merge"), (1, "data~1"), (2, "d?ta")]
+    a = [tuple(r) for r in sx.search(qs, k=10).collect()]
+    b = [tuple(r) for r in cached.search(qs, k=10).collect()]
+    assert a == b and a
