@@ -599,7 +599,8 @@ def _session_envelope_data() -> list[dict]:
                     "eff": e["efficiency_n_to_4n"], "bw": bw,
                     "ratio": round(e["efficiency_n_to_4n"] / bw, 2),
                     "spread": spread, "floor_ok": floor_ok,
-                    "clean": clean})
+                    "clean": clean,
+                    "engine": e.get("engine", "pre-r4")})
     return out
 
 
@@ -610,10 +611,12 @@ def _session_envelope_rows(data: list[dict]) -> list[str]:
                 ("cpu-degraded" if not d["floor_ok"] else
                  "cpu-noisy" if (d["spread"] or 0) > CPU_SPREAD_MAX
                  else "dram-contended"))
+        eng = d["engine"]
+        eng = eng[len("build-"):][:6] if eng.startswith("build-") else eng
         rows.append(f"| {d['ts']} | {d['corpus'] // 1000}k | "
                     f"{d['eff']} | {d['bw']} | {d['ratio']} | "
                     f"{d['spread'] if d['spread'] is not None else '?'} | "
-                    f"{flag} |")
+                    f"{flag} | {eng} |")
     return rows
 
 
@@ -741,23 +744,30 @@ def write_bench_md(payload: dict) -> None:
             "production):",
             "",
             f"| corpus | local[{lo}] floor | local[{hi}] floor | "
-            "best-window eff | merged-floor eff | gated sessions |",
-            "|---|---|---|---|---|---|",
+            "best-window eff | merged-floor eff | current-build eff | "
+            "gated sessions |",
+            "|---|---|---|---|---|---|---|",
         ]
         sweep = payload.get("scaling_sweep") or []
+        cur_tag = _engine_version()
         for row in sweep:
             rlo, rhi = row["levels"]
+            cur = (row.get("per_engine") or {}).get(cur_tag)
+            cur_cell = (f"{cur['merged_floor_eff']} "
+                        f"({cur['lo_floor_sec']}/{cur['hi_floor_sec']} s)"
+                        if cur else "—")
             lines.append(
                 f"| {row['n_pages'] // 1000}k pages "
                 f"({rlo}→{rhi}) | {row['lo_floor_sec']} s | "
                 f"{row['hi_floor_sec']} s | {row['best_session_eff']} | "
-                f"{row['merged_floor_eff']} | {row['sessions']} |")
+                f"{row['merged_floor_eff']} | {cur_cell} | "
+                f"{row['sessions']} |")
         if not sweep:
             lines.append(
                 f"| {sc['n_pages'] // 1000}k pages (per-round) | "
                 f"{sc[f'local{lo}']['seconds']} s | "
                 f"{sc[f'local{hi}']['seconds']} s | "
-                f"{sc['efficiency_n_to_4n']} | — | 1 |")
+                f"{sc['efficiency_n_to_4n']} | — | — | 1 |")
         lines += [
             "",
             "Every gated session (incl. this round's per-round run) is "
@@ -765,13 +775,14 @@ def write_bench_md(payload: dict) -> None:
             "from that full history. `merged-floor eff` ratios the "
             "per-level minima across ALL sessions of a size — both levels "
             "at their observed quiet-box floors, so one noisy window "
-            "cannot skew the ratio in either direction. Caveat: the floors "
-            "can mix engine versions — r4's build is ~1-2 s/run faster "
-            "(driver-side stats writes), and its quiet windows so far all "
-            "landed on the local[2] side, so the local[2] floor tightened "
-            "(143.2→133.4 s) while local[8]'s floor is still the r3-code "
-            "45.4 s — which LOWERS the merged ratio until a quiet "
-            "local[8] window lands on current code (expected ~42-44 s).",
+            "cannot skew the ratio in either direction. The all-history "
+            "floors can MIX engine versions (r4 verdict finding #1: a "
+            "mixed-version ratio measures no single engine), so "
+            "`current-build eff` restricts both floors to sessions of the "
+            f"current build ({cur_tag}, a source hash of the timed build "
+            "path) — that column is the headline per-version number; "
+            "per-version floors for every recorded build live in "
+            "sweep_summary()'s per_engine field.",
             "",
             "Per-session raw efficiency vs the SAME window's concurrent "
             "memcpy envelope (every gated session in the history — the "
@@ -783,8 +794,8 @@ def write_bench_md(payload: dict) -> None:
             f"{CPU_SPREAD_MAX}:",
             "",
             "| session (UTC) | corpus | raw eff | window memcpy envelope "
-            "| raw / envelope | cpu spread | gates |",
-            "|---|---|---|---|---|---|---|",
+            "| raw / envelope | cpu spread | gates | build |",
+            "|---|---|---|---|---|---|---|---|",
             *_session_envelope_rows(_session_envelope_data()),
             "",
             _envelope_reading(_session_envelope_data()),
