@@ -1608,10 +1608,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             if candidates is not None and qid in bitmaps:
                 tree_pred = _tree_sql(p.bool_tree, p.bool_filters, bm,
                                       docs.columns)
-                a = (candidates.filter(F.col("query_id") == qid)
-                     .join(docs.select("doc_id", *meta_cols),
-                           "doc_id", "left")
-                     .filter(F.expr(tree_pred))
+                a = candidates.filter(F.col("query_id") == qid)
+                if p.bool_filters:
+                    # filter leaves need doc metadata; pure-term
+                    # default-true trees evaluate on bits alone — no
+                    # documents scan for branch A
+                    a = a.join(docs.select("doc_id", *meta_cols),
+                               "doc_id", "left")
+                a = (a.filter(F.expr(tree_pred))
                      .select("query_id", "doc_id",
                              F.when(F.col("score") > 0.0, F.col("score"))
                              .otherwise(F.lit(1.0)).alias("score"),

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Quiet-window harvester for gated scaling sessions.
+
+Loops until a deadline, pre-gating each session on the box being ACTUALLY
+quiet (stricter than the in-session gates, so no session is wasted on a
+contended window), then runs one single-round hi-first bench.scaling_run
+per corpus size in the rotation. Every session appends to
+SCALING_SWEEP.json as usual; this wrapper additionally writes
+/tmp/isx_harvest_status.json so a concurrent operator can see whether a
+TIMED session is in flight (never start another Spark workload then —
+CLAUDE.md).
+
+    python scripts/harvest_scaling.py [--hours H] [size ...]
+
+Touch /tmp/isx_harvest_pause to hold the loop between sessions (it never
+interrupts a running session).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+PAUSE = "/tmp/isx_harvest_pause"
+STATUS = "/tmp/isx_harvest_status.json"
+CORPORA = {480000: "/dev/shm/isx-scale-corpus-480k",
+           1200000: "/dev/shm/isx-scale-corpus-1200k",
+           2400000: "/dev/shm/isx-scale-corpus-2400k"}
+# pre-gate: stricter than the in-session gates — only START a session in a
+# window that would pass them with margin
+PRE_CPU_MAX = 2.2
+PRE_BW_MIN = 0.70
+
+
+def _status(state: str, **kw) -> None:
+    kw.update(state=state, ts=time.strftime("%H:%M:%S", time.gmtime()))
+    with open(STATUS, "w") as f:
+        json.dump(kw, f)
+
+
+def _clean(entry: dict) -> bool:
+    bw = (entry.get("machine_envelope") or {}).get("bw_eff") or 0.0
+    probes = entry.get("capacity_probes_sec") or []
+    spread = (max(probes) / min(probes)) if probes else 99.0
+    floor_ok = (min(probes) <= bench.CPU_FLOOR_MAX) if probes else False
+    return (bw >= bench.DRAM_GATE_MIN and floor_ok
+            and spread <= bench.CPU_SPREAD_MAX)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    hours = 4.0
+    if args and args[0] == "--hours":
+        hours = float(args[1]); args = args[2:]
+    sizes = [int(a) for a in args] or [1200000, 480000]
+    deadline = time.time() + hours * 3600
+    os.environ.setdefault("SPARK_GRAFT_SCALE_HI_FIRST", "1")
+    successes, i = 0, 0
+    while time.time() < deadline:
+        while os.path.exists(PAUSE) and time.time() < deadline:
+            _status("paused"); time.sleep(30)
+        if time.time() >= deadline:
+            break
+        p = bench.cpu_probe()
+        if p > PRE_CPU_MAX:
+            _status("waiting", probe=round(p, 2)); time.sleep(60); continue
+        bw = bench.bw_envelope_probe()
+        if bw < PRE_BW_MIN:
+            _status("waiting", probe=round(p, 2), bw=bw)
+            time.sleep(60); continue
+        size = sizes[i % len(sizes)]; i += 1
+        os.environ["SPARK_GRAFT_SCALE_CORPUS"] = CORPORA[size]
+        _status("running", size=size, probe=round(p, 2), bw=bw)
+        t0 = time.time()
+        try:
+            res = bench.scaling_run(size, rounds=1)
+        except Exception as exc:  # keep harvesting through one-off failures
+            _status("error", err=str(exc)[:300]); time.sleep(60); continue
+        clean = _clean(res)
+        hit = clean and res["efficiency_n_to_4n"] >= 0.8
+        successes += int(hit)
+        print(json.dumps({"size": size, "eff": res["efficiency_n_to_4n"],
+                          "clean": clean, "hit": hit,
+                          "mins": round((time.time() - t0) / 60, 1)}),
+              flush=True)
+        _status("idle", last_size=size, last_eff=res["efficiency_n_to_4n"],
+                last_clean=clean, successes=successes)
+        if successes >= 3:
+            break  # enough independent clean >=0.8 evidence
+    _status("done", successes=successes)
+
+
+if __name__ == "__main__":
+    main()

@@ -261,3 +261,19 @@ def test_uncached_vocab_scans_push_down(spark, built_index):
     a = [tuple(r) for r in sx.search(qs, k=10).collect()]
     b = [tuple(r) for r in cached.search(qs, k=10).collect()]
     assert a == b and a
+
+
+def test_or_not_tree_plans_two_documents_scans(spark, built_index):
+    """Default-true pure-term trees (`a OR NOT b`) must plan exactly TWO
+    documents scans — the bounded branch-B base scan and the final url
+    lookup. Branch A evaluates on scorer bits alone (no metadata join;
+    a third scan here is a full table read per query at 100 TB)."""
+    import re
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    df = search(spark, io, [(0, "merge OR NOT batch")], k=10)
+    plan = _plan(df)
+    n = len(re.findall(r"Location.*documents", plan))
+    assert n == 2, f"expected 2 documents scans, got {n}"
+    assert "TakeOrderedAndProject" in plan  # branch B is bounded
+    assert "CartesianProduct" not in plan
