@@ -30,10 +30,13 @@ STATUS = "/tmp/isx_harvest_status.json"
 CORPORA = {480000: "/dev/shm/isx-scale-corpus-480k",
            1200000: "/dev/shm/isx-scale-corpus-1200k",
            2400000: "/dev/shm/isx-scale-corpus-2400k"}
-# pre-gate: stricter than the in-session gates — only START a session in a
-# window that would pass them with margin
-PRE_CPU_MAX = 2.2
-PRE_BW_MIN = 0.70
+# pre-gate: avoid starting a session into a HEAVILY contended phase; the
+# in-session gates (cpu capacity + DRAM envelope, bench.py) do the strict
+# work. Loose on purpose: unclean sessions still tighten the per-level
+# floors (min over runs — drift can only slow a run, never speed it up),
+# and only a fully-quiet session can print clean gates anyway.
+PRE_CPU_MAX = float(os.environ.get("HARVEST_PRE_CPU", "3.5"))
+PRE_BW_MIN = float(os.environ.get("HARVEST_PRE_BW", "0.5"))
 
 
 def _status(state: str, **kw) -> None:
