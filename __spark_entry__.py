@@ -1283,6 +1283,29 @@ def q_boolean(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+MIME_TYPES = ["image/jpeg", "image/png", "image/webp", "text/html",
+              "application/pdf", "video/mp4"]
+
+
+def q_mime_gate(spark, sf_dir):
+    """F8 Content-Type gate (reference: the NSFW classifier only runs on
+    images matching a MIME regex, nsfw/extractor.go:56-77): deterministic
+    content types derived from doc_id, filtered by mime_gate's JVM-side
+    rlike (pushed before any Python stage), aggregated per surviving
+    type."""
+    from ipfs_search_spark.operators.multimodal import mime_gate
+    docs = _t(spark, sf_dir, "documents")
+    typed = docs.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(x) for x in MIME_TYPES]),
+                     (F.col("doc_id") % 6 + 1).cast("int"))
+        .alias("content_type"))
+    return (mime_gate(typed, "content_type")
+            .groupBy("content_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("sum_ids")))
+
+
 OR_NOT_QUERY = "merge OR NOT batch"
 
 
@@ -1523,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": q_topk_orders,
         "q_recency_filter": q_recency_filter,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_mime_gate": q_mime_gate,
         "q_streaming_dedup": q_streaming_dedup,
     }
 
@@ -1937,6 +1961,21 @@ SELECT format, count(*) AS n,
        coalesce(CAST(sum(w) AS BIGINT), 0) AS sum_w,
        coalesce(CAST(sum(h) AS BIGINT), 0) AS sum_h
 FROM b GROUP BY 1
+""",
+        "q_mime_gate": """
+WITH typed AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'image/jpeg'  WHEN 1 THEN 'image/png'
+           WHEN 2 THEN 'image/webp'  WHEN 3 THEN 'text/html'
+           WHEN 4 THEN 'application/pdf' ELSE 'video/mp4'
+         END AS content_type
+  FROM documents
+)
+SELECT content_type, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM typed
+WHERE regexp_matches(content_type, '^image/(jpeg|png|gif|bmp|webp)')
+GROUP BY content_type
 """,
         "q_streaming_dedup": """
 SELECT user_id, ts AS first_ts, event_type
