@@ -1306,6 +1306,33 @@ def q_mime_gate(spark, sf_dir):
                  F.sum("doc_id").alias("sum_ids")))
 
 
+def q_url_validity(spark, sf_dir):
+    """F1/S4 URL validity gate (reference CidFilter,
+    sniffer/providerfilters/cidfilter.go:28-47): deterministic URL
+    synthesis per doc — class 0 gets an unsupported scheme, class 1 an
+    embedded space — filtered by the sniffer's URL_VALID_RE (JVM rlike,
+    pushed to the scan), surviving classes aggregated."""
+    from ipfs_search_spark.streaming.ingest_stream import URL_VALID_RE
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("ftp://"), F.col("source"),
+                           F.lit("/"), sid))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("https://"), F.col("source"),
+                          F.lit("/a b/"), sid))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit("http://"), F.col("source"),
+                          F.lit("/"), sid))
+           .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                               F.lit("/"), sid)))
+    cand = docs.select("doc_id", url.alias("url"))
+    return (cand.filter(F.col("url").rlike(URL_VALID_RE))
+            .groupBy((F.col("doc_id") % 4).cast("int").alias("cls"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("sum_ids")))
+
+
 OR_NOT_QUERY = "merge OR NOT batch"
 
 
@@ -1547,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recency_filter": q_recency_filter,
         "q_multimodal_meta": q_multimodal_meta,
         "q_mime_gate": q_mime_gate,
+        "q_url_validity": q_url_validity,
         "q_streaming_dedup": q_streaming_dedup,
     }
 
@@ -1976,6 +2004,24 @@ SELECT content_type, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM typed
 WHERE regexp_matches(content_type, '^image/(jpeg|png|gif|bmp|webp)')
 GROUP BY content_type
+""",
+        "q_url_validity": """
+WITH cand AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'ftp://' || source || '/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'https://' || source || '/a b/'
+                       || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://' || source || '/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+)
+SELECT CAST(doc_id % 4 AS INT) AS cls, count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM cand
+WHERE regexp_matches(url, '^https?://[^\\s]+$')
+GROUP BY 1
 """,
         "q_streaming_dedup": """
 SELECT user_id, ts AS first_ts, event_type

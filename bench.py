@@ -800,6 +800,22 @@ def write_bench_md(payload: dict) -> None:
             "",
             _envelope_reading(_session_envelope_data()),
             "",
+            "Known self-inflicted confound, disclosed: a background "
+            "envelope watcher (scripts/bw_watch.py — 8 processes of "
+            "pinned memcpy + md5 for ~15-25 s every 360 s) ran from "
+            "2026-08-17 22:36 to 2026-08-18 12:37 UTC, i.e. during EVERY "
+            "`build-fe61…` sweep session recorded before 12:37 and during "
+            "the round-4 bench itself. A ~5-7% duty cycle gives each "
+            "135 s local[2] run a ~35% chance — and each multi-minute "
+            "LSH/fingerprint bench query a proportional chance — of "
+            "absorbing one full-box probe burst. It is the named suspect "
+            "for (a) the r4 q_lsh_neardup/q_fingerprint_lookup/"
+            "q_simhash_neardup regressions (code untouched that round) "
+            "and (b) the failure of any post-22:36 local[8] run to reach "
+            "the 45.4 s r3-era floor. The watcher was killed at "
+            "2026-08-18 12:37; sessions and benches after that timestamp "
+            "are free of it.",
+            "",
             "The binding constraint flips with the window: in DRAM-quiet "
             "windows raw approaches its best — fixed driver/commit "
             "overhead is the remaining gap — while in CPU-quiet/"
