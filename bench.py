@@ -662,6 +662,43 @@ def _envelope_reading(data: list[dict]) -> str:
     return txt
 
 
+def _dedup_rebench_lines() -> list[str]:
+    """Render the controlled post-confound data points recorded by
+    scripts/rebench_dedup.py (DEDUP_REBENCH.json), if any: the r4 dedup-
+    family 'regressions' re-timed with the watcher dead, in a window whose
+    quietness is itself recorded (probe + envelope columns)."""
+    path = os.path.join(REPO, "DEDUP_REBENCH.json")
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+    except (ValueError, OSError):
+        return []
+    if not hist:
+        return []
+    lines = [
+        "",
+        "Controlled re-bench of the dedup family "
+        "(scripts/rebench_dedup.py — same bench_table_ops method, fresh "
+        "warmed JVM, watcher dead; window quietness recorded per run):",
+        "",
+        "| run (UTC) | cpu probe before/after (s) | memcpy envelope | "
+        "q_lsh_neardup | q_simhash_neardup | q_fingerprint_lookup |",
+        "|---|---|---|---|---|---|",
+    ]
+    for e in hist:
+        q = e.get("queries", {})
+        lines.append(
+            f"| {e.get('ts', '?')} | {e.get('probe_before_sec', '?')}/"
+            f"{e.get('probe_after_sec', '?')} | "
+            f"{e.get('bw_eff_before', '?')} | "
+            f"{q.get('q_lsh_neardup', '?')} s | "
+            f"{q.get('q_simhash_neardup', '?')} s | "
+            f"{q.get('q_fingerprint_lookup', '?')} s |")
+    return lines
+
+
 def write_bench_md(payload: dict) -> None:
     lines = [
         "# BENCH — measured numbers (local sandbox)\n",
@@ -851,6 +888,7 @@ def write_bench_md(payload: dict) -> None:
             "| pure-CPU machine ceiling 2→8 | 0.92-1.01 |",
             "| memcpy machine ceiling 2→8 | 0.27-0.91 (window-dependent) |",
         ]
+    lines += _dedup_rebench_lines()
     lines += ["", "Per-query seconds:", "```json",
               json.dumps(payload["queries"], indent=2, sort_keys=True),
               "```", ""]
