@@ -54,7 +54,8 @@ def tokenize_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
 
 def doc_tokens(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
                lang_col: str | None = None,
-               positions: bool = False) -> DataFrame:
+               positions: bool = False,
+               aggregate: bool = True) -> DataFrame:
     """pages/documents → one row per (doc, term) with tf and dl.
 
     Stays entirely in whole-stage codegen for latin corpora (split + explode +
@@ -68,6 +69,14 @@ def doc_tokens(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
     index's input (the reference's `term_vector: with_positions_offsets`,
     /root/reference/docs/indices/files.json:93). Shuffle rows stay one per
     (doc, term); positions ride as a payload array.
+
+    aggregate=False skips the tf groupBy and returns RAW token rows (one
+    per occurrence, with a flat `pos` int when positions=True): the
+    single-shuffle build path, where the (bucket, shard) encoder computes
+    tf as a run length. Prefer aggregate=True when MATERIALIZING a tokens
+    table (checkpointed builds — the stored table stays avg-tf× smaller)
+    or when the corpus' average tf is high enough that the extra groupBy
+    shuffle pays for itself; the direct build path uses aggregate=False.
     """
     if lang_col:
         arr = tokenize_udf(F.col(text_col), F.col(lang_col))
@@ -75,6 +84,12 @@ def doc_tokens(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
         arr = tokens_array(F.col(text_col))
     with_arr = df.select(F.col(doc_col).alias("doc_id"), arr.alias("_toks"))
     with_dl = with_arr.withColumn("dl", F.size("_toks")).filter(F.col("dl") > 0)
+    if not aggregate:
+        if positions:
+            return with_dl.select(
+                "doc_id", "dl", F.posexplode("_toks").alias("pos", "term"))
+        return with_dl.select(
+            "doc_id", "dl", F.explode("_toks").alias("term"))
     if positions:
         exploded = with_dl.select(
             "doc_id", "dl", F.posexplode("_toks").alias("pos", "term"))

@@ -65,13 +65,16 @@ def latest_pages(pages: DataFrame) -> DataFrame:
     """W2 latest-observation-wins per url (reference sniffer dedup,
     /root/reference/components/sniffer/providerfilters/lastseenfilter.go:55-90
     — batch form). One shuffle on url; ties broken deterministically by the
-    html payload hash so reruns are stable."""
-    from pyspark.sql import Window
-    w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
-    )
-    return (pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    html payload hash so reruns are stable. Hash aggregate (max_by), not a
+    row_number window: no sort of the payload, map-side partial combine."""
+    others = [c for c in pages.columns if c != "url"]
+    win_key = F.struct(F.col("warc_ts").alias("ts"),
+                       F.xxhash64("html").alias("h"))
+    return (pages.groupBy("url")
+            .agg(F.max_by(F.struct(*[F.col(c).alias(c) for c in others]),
+                          win_key).alias("_w"))
+            .select(*[F.col("url") if c == "url" else F.col(f"_w.{c}")
+                      for c in pages.columns]))
 
 
 def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
@@ -81,20 +84,25 @@ def canonical_documents(pages: DataFrame, max_bytes: int = MAX_EXTRACT_BYTES,
     doc_id = xxhash64(url) — deterministic, join-free, collision odds ~n²/2⁶⁵
     (≈5e-6 at 10^9 docs). first/last_seen truncated to seconds like the
     reference (/root/reference/components/crawler/index.go:20-24)."""
-    from pyspark.sql import Window
-    # Single pass over the input: first/last_seen window aggs share the same
-    # url-partitioning as the latest-wins ranking, so the whole dedup+seen
-    # computation is ONE shuffle and ONE scan of pages (at 100 TB the input
-    # scan dominates — the old two-branch + join shape read it twice).
-    wp = Window.partitionBy("url")
-    wo = wp.orderBy(F.desc("warc_ts"), F.desc(F.xxhash64("html")))
-    latest = (pages
-              .withColumn("first_seen",
-                          F.date_trunc("second", F.min("warc_ts").over(wp)))
-              .withColumn("last_seen",
-                          F.date_trunc("second", F.max("warc_ts").over(wp)))
-              .withColumn("_rn", F.row_number().over(wo))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    # Single pass over the input: ONE hash aggregate on url computes the
+    # winning sighting (max_by on the (warc_ts, html-hash) struct — the same
+    # winner the old desc/desc row_number window picked) AND first/last_seen.
+    # vs the window form this (a) never SORTS the full pages table — the
+    # window's sort of every html payload was the build's largest memory
+    # mover after the shuffle itself — and (b) partially aggregates map-side,
+    # so duplicate sightings collapse before the url shuffle instead of
+    # shipping every copy (at 100 TB recrawl dups are the norm, not 0.5%).
+    others = [c for c in pages.columns if c != "url"]
+    win_key = F.struct(F.col("warc_ts").alias("ts"),
+                       F.xxhash64("html").alias("h"))
+    latest = (pages.groupBy("url")
+              .agg(F.max_by(F.struct(*[F.col(c).alias(c) for c in others]),
+                            win_key).alias("_w"),
+                   F.date_trunc("second",
+                                F.min("warc_ts")).alias("first_seen"),
+                   F.date_trunc("second",
+                                F.max("warc_ts")).alias("last_seen"))
+              .select("url", "_w.*", "first_seen", "last_seen"))
     if extract:
         latest = with_extracted_text(
             latest.drop("text"), max_bytes=max_bytes, status_col="status",
@@ -130,18 +138,82 @@ def _make_encoder(block_size: int):
     """Encoder for one (bucket, shard) group: MANY terms per pandas group so
     the per-group applyInPandas overhead amortizes (one group per
     bucket×shard cell instead of one per term — 512 groups instead of
-    |vocab|×shards). Emits one postings row per term."""
+    |vocab|×shards). Emits one postings row per term.
+
+    Accepts TWO input shapes:
+    - aggregated rows (a `tf` column, one row per (doc, term), optional
+      `positions` array) — what doc_tokens(aggregate=True) produces and
+      what the checkpointed build materializes in its tokens table;
+    - RAW token rows (no `tf`, one row per token occurrence, optional flat
+      `pos` int) — the single-shuffle build path: tf is a run length after
+      the (term, doc) sort, so the upstream groupBy(doc_id, term) shuffle
+      (and its AQE-coalesced straggler-prone final-agg stage) disappears
+      from the build entirely."""
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         from ipfs_search_spark.functions.codec import encode_blocks
-        terms_arr = pdf["term"].to_numpy()
+        # factorize terms to int codes FIRST (C-speed hash): lexsorting the
+        # raw object-dtype string column fell back to per-element Python
+        # comparisons — the dominant encoder cost at bench scale. Postings
+        # row order within the group becomes appearance-order instead of
+        # alphabetical, which no consumer observes (the base build re-sorts
+        # by term at the partitioned write; segments are term-filtered, not
+        # order-scanned).
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=False)
+        codes = codes.astype(np.int64)
         ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
         dls_all = pdf["dl"].to_numpy(dtype=np.int64)
-        positional = "positions" in pdf.columns
-        # one vectorized sort by (term, unsigned doc_id) segments the group
-        order = np.lexsort((ids_all.view(np.uint64), terms_arr))
-        terms_arr = terms_arr[order]
+        raw_tokens = "tf" not in pdf.columns
+        positional = ("positions" in pdf.columns or
+                      (raw_tokens and "pos" in pdf.columns))
+        if raw_tokens:
+            uids = ids_all.view(np.uint64)
+            if positional:
+                pos_all = pdf["pos"].to_numpy(dtype=np.int64)
+                order = np.lexsort((pos_all, uids, codes))
+                pos_flat = pos_all[order]
+            else:
+                order = np.lexsort((uids, codes))
+            codes, ids_all, dls_all = (codes[order], ids_all[order],
+                                       dls_all[order])
+            uids = ids_all.view(np.uint64)
+            # posting (term, doc) runs: tf = run length, all vectorized
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (codes[1:] != codes[:-1]) |
+                 (uids[1:] != uids[:-1]))))
+            run_ends = np.append(starts[1:], codes.size)
+            tfs_all = (run_ends - starts).astype(np.int64)
+            codes, ids_all, dls_all = (codes[starts], ids_all[starts],
+                                       dls_all[starts])
+            if positional:
+                el_bounds = np.zeros(tfs_all.size + 1, dtype=np.int64)
+                np.cumsum(tfs_all, out=el_bounds[1:])
+            seg = np.flatnonzero(np.concatenate(
+                ([True], codes[1:] != codes[:-1])))
+            bounds = np.append(seg, codes.size)
+            out_terms, out_df, out_cf, out_blocks = [], [], [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                out_terms.append(uniq_terms[codes[s]])
+                out_df.append(int(e - s))
+                out_cf.append(int(tfs_all[s:e].sum()))
+                out_blocks.append(encode_blocks(
+                    ids_all[s:e], tfs_all[s:e], dls_all[s:e],
+                    positions=(pos_flat[el_bounds[s]:el_bounds[e]]
+                               if positional else None),
+                    block_size=block_size))
+            n = len(out_terms)
+            return pd.DataFrame({
+                "term": out_terms,
+                "shard": [int(pdf["shard"].iloc[0])] * n,
+                "bucket": [int(pdf["bucket"].iloc[0])] * n,
+                "df_part": out_df,
+                "cf_part": out_cf,
+                "blocks": out_blocks,
+            })
+        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
+        # one vectorized sort by (term code, unsigned doc_id)
+        order = np.lexsort((ids_all.view(np.uint64), codes))
+        codes = codes[order]
         ids_all, tfs_all, dls_all = (ids_all[order], tfs_all[order],
                                      dls_all[order])
         if positional:
@@ -153,11 +225,11 @@ def _make_encoder(block_size: int):
             el_bounds = np.zeros(tfs_all.size + 1, dtype=np.int64)
             np.cumsum(tfs_all, out=el_bounds[1:])
         seg = np.flatnonzero(np.concatenate(
-            ([True], terms_arr[1:] != terms_arr[:-1])))
-        bounds = np.append(seg, terms_arr.size)
+            ([True], codes[1:] != codes[:-1])))
+        bounds = np.append(seg, codes.size)
         out_terms, out_df, out_cf, out_blocks = [], [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
-            out_terms.append(terms_arr[s])
+            out_terms.append(uniq_terms[codes[s]])
             out_df.append(int(e - s))
             out_cf.append(int(tfs_all[s:e].sum()))
             out_blocks.append(encode_blocks(
@@ -217,19 +289,26 @@ def build_postings(docs: DataFrame, n_shards: int = 8,
                    n_buckets: int = 64, block_size: int = BLOCK_SIZE,
                    lang_aware: bool = False,
                    positions: bool = False) -> DataFrame:
-    """tokens → encoded postings. The groupBy(term, shard) is THE big shuffle
-    of the build; partial aggregation of tf happens map-side in doc_tokens'
-    hash agg, so shuffle rows are (doc, term) pairs, not raw tokens. No
-    corpus stats needed — block-max metadata is avgdl-independent.
+    """tokens → encoded postings. ONE shuffle: raw token rows go straight
+    from the tokenize/explode scan into the (bucket, shard) encoder, which
+    derives tf as a (term, doc) run length after its vectorized sort. The
+    old shape pre-aggregated tf with a groupBy(doc_id, term) — that is a
+    SECOND full shuffle of every (doc, term) pair plus two hash-agg passes,
+    and its AQE-coalesced final-agg stage was the build's straggler (a
+    3-task 30 s stage at local[2]). Raw rows shuffle ~avg-tf× more rows but
+    skip all of that; net measured win at bench scale, and the encoder
+    still accepts pre-aggregated input for materialized tokens tables
+    (checkpointed builds). No corpus stats needed — block-max metadata is
+    avgdl-independent.
 
-    positions=True writes the positional payload (per-posting token indexes,
-    delta+varbyte) into each block — required for phrase queries. Works with
-    both analyzer paths (posexplode runs over the token array either way, so
-    the lang-aware CJK analyzer keeps per-codepoint positions)."""
+    positions=True ships a flat `pos` int per token row — the encoder's
+    run sort yields each posting's positions already ascending (the
+    reference's `term_vector: with_positions_offsets`,
+    /root/reference/docs/indices/files.json:93)."""
     ok = docs.filter(F.col("status") == "ok")
     tokens = doc_tokens(ok, doc_col="doc_id", text_col="text",
                         lang_col="lang" if lang_aware else None,
-                        positions=positions)
+                        positions=positions, aggregate=False)
     sharded = tokens.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
     ).withColumn(
@@ -347,12 +426,14 @@ def build_fielded_index(spark: SparkSession, docs: DataFrame, io: TableIO,
 
     tokens = None
     for fld, col in sorted(fields.items()):
+        # raw token rows (single-shuffle path, same as build_postings):
+        # the encoder derives tf from (term, doc) run lengths
         t = doc_tokens(ok, doc_col="doc_id", text_col=col,
-                       positions=positions)
+                       positions=positions, aggregate=False)
         sel = ["doc_id", "dl",
-               F.concat(F.lit(fld + ":"), F.col("term")).alias("term"), "tf"]
+               F.concat(F.lit(fld + ":"), F.col("term")).alias("term")]
         if positions:
-            sel.append("positions")  # token indexes WITHIN the field
+            sel.append("pos")  # token index WITHIN the field
         t = t.select(*sel)
         tokens = t if tokens is None else tokens.unionByName(t)
     # ALL per-field stats + the corpus doc count in ONE scan (one agg job

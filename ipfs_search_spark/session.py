@@ -32,6 +32,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 8 MiB advisory target (default 64 MiB): AQE otherwise coalesces
+        # the build's encode shuffle to ~1× the slot count, and with
+        # Zipf-skewed (bucket, shard) cells those few fat tasks leave a
+        # long straggler tail (measured: postings stage 36.8 s → 23.5 s at
+        # local[8] from this alone). Finer targets keep ≥3-4 waves of
+        # tasks per slot so uneven cells pack; same rule a 1000-executor
+        # cluster needs — never let AQE collapse a skewed stage to ~#slots.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # Arrow everywhere: pandas UDFs are the only Python on the hot path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
