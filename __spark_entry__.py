@@ -263,6 +263,36 @@ def _bm25_engine(spark: SparkSession, sf_dir: str, terms: list[str], k: int
             .select("doc_id", "score", "rank"))
 
 
+def q_snapshot_search(spark, sf_dir):
+    """S15 snapshot export/restore (reference: OpenSearch snapshot/restore,
+    /root/reference/docs/snapshots.md): export the flagship index to a
+    snapshot directory, restore it into a FRESH TableIO root, and run the
+    flagship BM25 query through the restored index. Hash-matching the same
+    brute-force oracle as q_bm25_engine proves the snapshot carries every
+    artifact (postings, term_stats, index_stats) bit-faithfully."""
+    from ipfs_search_spark.catalog import (
+        TableIO, export_snapshot, restore_snapshot,
+    )
+    from ipfs_search_spark.plans.query import search
+    key = "snapshot:" + os.path.abspath(sf_dir)
+    if key in _ENGINE_CACHE:
+        rio = _ENGINE_CACHE[key]
+    else:
+        io = _engine_io(spark, sf_dir)
+        snap = tempfile.mkdtemp(prefix="isx-entry-snap-")
+        export_snapshot(io, snap)
+        rio = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-restored-"))
+        restore_snapshot(snap, rio)
+        _ENGINE_CACHE[key] = rio
+    raw = search(spark, rio, [(0, " ".join(FLAGSHIP_TERMS))],
+                 k=FLAGSHIP_K + 50, prune=True)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 _POS_ENGINE_CACHE: dict[str, object] = {}
 
 PHRASE_TERMS = ["data", "spark"]  # adjacency-tested pair (has hits at sf0.01)
@@ -1541,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_stats": q_term_stats,
         "q_doc_stats": q_doc_stats,
         "q_bm25_topk": q_bm25_topk,
+        "q_snapshot_search": q_snapshot_search,
         "q_bm25_engine": q_bm25_engine,
         "q_bm25_and": q_bm25_and,
         "q_prefix_search": q_prefix_search,
@@ -1674,6 +1705,7 @@ FROM dl
 """,
         "q_bm25_topk": bm25,
         "q_bm25_engine": bm25,
+        "q_snapshot_search": bm25,
         "q_bm25_and": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                        conj=True),
         "q_prefix_search": _prefix_oracle_sql(
