@@ -749,7 +749,10 @@ def q_crawl_reach(spark, sf_dir):
     roots = region.select(
         F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("url"))
     out = crawl_fixpoint(roots, links, max_depth=6)
-    return out.select("url", F.col("depth").cast("int").alias("depth"))
+    # priority: the reference's 1..7 re-enqueue jitter (W1/C7), md5-derived
+    # (crawl.child_priority) so the oracle reproduces it digit-for-digit
+    return out.select("url", F.col("depth").cast("int").alias("depth"),
+                      F.col("priority").cast("int").alias("priority"))
 
 
 def q_gateway_url(spark, sf_dir):
@@ -1820,20 +1823,29 @@ FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
         "q_paging": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                      offset=FLAGSHIP_K),
         "q_crawl_reach": """
-SELECT 'R' || r_regionkey AS url, CAST(0 AS INT) AS depth FROM region
-UNION ALL
-SELECT 'N' || n_nationkey, CAST(1 AS INT) FROM nation
-WHERE n_regionkey IN (SELECT r_regionkey FROM region)
-UNION ALL
-SELECT 'C' || c_custkey, CAST(2 AS INT) FROM customer
-WHERE c_nationkey IN (SELECT n_nationkey FROM nation
-                      WHERE n_regionkey IN (SELECT r_regionkey FROM region))
-UNION ALL
-SELECT 'O' || o_orderkey, CAST(3 AS INT) FROM orders
-WHERE o_custkey IN (
-  SELECT c_custkey FROM customer
+WITH reach AS (
+  SELECT 'R' || r_regionkey AS url, CAST(0 AS INT) AS depth FROM region
+  UNION ALL
+  SELECT 'N' || n_nationkey, CAST(1 AS INT) FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region)
+  UNION ALL
+  SELECT 'C' || c_custkey, CAST(2 AS INT) FROM customer
   WHERE c_nationkey IN (SELECT n_nationkey FROM nation
-                        WHERE n_regionkey IN (SELECT r_regionkey FROM region)))
+                        WHERE n_regionkey IN (SELECT r_regionkey FROM region))
+  UNION ALL
+  SELECT 'O' || o_orderkey, CAST(3 AS INT) FROM orders
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (SELECT r_regionkey FROM region)))
+)
+SELECT url, depth,
+       CAST((( (strpos('0123456789abcdef', substr(md5('42|' || url), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5('42|' || url), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5('42|' || url), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5('42|' || url), 4, 1)) - 1)
+             ) % 7) + 1 AS INT) AS priority
+FROM reach
 """,
         "q_outlinks": """
 SELECT doc_id, CAST(0 AS INT) AS pos,

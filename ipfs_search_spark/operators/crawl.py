@@ -18,13 +18,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def child_priority(seed: int = 42) -> "F.Column":
+def child_priority(seed: int = 42, url_col: str = "url") -> "F.Column":
     """Deterministic analogue of the reference's random child priority 1..7
     (/root/reference/components/crawler/crawldirectory.go:157-163 — children
     get mixed priorities so queue consumers see a blended availability
-    workload). Seeded rand() keeps reruns and resumes identical; used as a
-    salting/ordering column, not a queue property."""
-    return (F.floor(F.rand(seed) * 7) + 1).cast("int")
+    workload). Derived from md5(seed|url), NOT rand(seed): rand() folds the
+    partition index into its stream, so the "same" seed yields different
+    priorities whenever partitioning changes — a hash of the url is
+    unconditionally deterministic across reruns, resumes and cluster sizes,
+    and stays uniform over 1..7. md5 (not xxhash64) so the value is
+    bit-mirrorable in the DuckDB oracle."""
+    h4 = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(url_col))), 1, 4), 16, 10)
+    return (h4.cast("long") % 7 + 1).cast("int")
 
 
 def expand_frontier(frontier: DataFrame, links: DataFrame,
@@ -43,9 +49,12 @@ def expand_frontier(frontier: DataFrame, links: DataFrame,
 def crawl_fixpoint(roots: DataFrame, links: DataFrame,
                    max_depth: int = 16) -> DataFrame:
     """Expand roots through the link graph to a fixpoint (or max_depth).
-    Returns (url, depth, ref_parent, ref_name) for every reached doc. Each
-    round's frontier is checkpoint-truncated via localCheckpoint so the plan
-    doesn't grow with depth (the iterative-algorithm pitfall)."""
+    Returns (url, depth, ref_parent, ref_name, priority) for every reached
+    doc — priority is the reference's 1..7 re-enqueue jitter
+    (child_priority, W1/C7: hash-of-url, so a resumed crawl re-derives
+    identical priorities). Each round's frontier is checkpoint-truncated
+    via localCheckpoint so the plan doesn't grow with depth (the
+    iterative-algorithm pitfall)."""
     seen = roots.select("url").withColumn("depth", F.lit(0)) \
                 .withColumn("ref_parent", F.lit(None).cast("string")) \
                 .withColumn("ref_name", F.lit(None).cast("string"))
@@ -60,7 +69,7 @@ def crawl_fixpoint(roots: DataFrame, links: DataFrame,
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    return seen
+    return seen.withColumn("priority", child_priority())
 
 
 def links_name_text(agg_links: DataFrame, parent_col: str,
