@@ -191,16 +191,23 @@ def _make_encoder(block_size: int):
             seg = np.flatnonzero(np.concatenate(
                 ([True], codes[1:] != codes[:-1])))
             bounds = np.append(seg, codes.size)
-            out_terms, out_df, out_cf, out_blocks = [], [], [], []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                out_terms.append(uniq_terms[codes[s]])
-                out_df.append(int(e - s))
-                out_cf.append(int(tfs_all[s:e].sum()))
-                out_blocks.append(encode_blocks(
+            out_terms = [uniq_terms[c] for c in codes[seg]]
+            out_df = (bounds[1:] - bounds[:-1]).tolist()
+            out_cf = np.add.reduceat(tfs_all, seg).tolist() \
+                if codes.size else []
+            if positional:
+                out_blocks = [encode_blocks(
                     ids_all[s:e], tfs_all[s:e], dls_all[s:e],
-                    positions=(pos_flat[el_bounds[s]:el_bounds[e]]
-                               if positional else None),
-                    block_size=block_size))
+                    positions=pos_flat[el_bounds[s]:el_bounds[e]],
+                    block_size=block_size)
+                    for s, e in zip(bounds[:-1], bounds[1:])]
+            else:
+                from ipfs_search_spark.functions.codec import (
+                    encode_blocks_bulk,
+                )
+                out_blocks = encode_blocks_bulk(
+                    bounds, ids_all, tfs_all, dls_all,
+                    block_size=block_size)
             n = len(out_terms)
             return pd.DataFrame({
                 "term": out_terms,

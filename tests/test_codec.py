@@ -117,3 +117,36 @@ def test_positional_block_roundtrip(n, block_size):
     assert (np.concatenate(ids_l) == ids).all()
     assert (np.concatenate(tfs_l) == tfs).all()
     assert (np.concatenate(pos_l) == pos).all()
+
+
+@given(st.integers(min_value=1, max_value=60),
+       st.sampled_from([4, 16, 128]),
+       st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=60, deadline=None)
+def test_encode_blocks_bulk_bit_identical(n_terms, block_size, seed):
+    """encode_blocks_bulk (one varbyte pass per payload over a whole
+    bucket×shard cell) must be byte-identical to per-term encode_blocks —
+    the single-shuffle build's fast path vs the reference formulation."""
+    from ipfs_search_spark.functions.codec import encode_blocks_bulk
+    rng = np.random.default_rng(seed * 7 + n_terms)
+    seg_n = rng.integers(1, 4 * block_size, size=n_terms)
+    bounds = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(seg_n, out=bounds[1:])
+    ids = np.empty(int(bounds[-1]), dtype=np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        u = np.unique(rng.integers(0, 2**64, size=2 * (e - s),
+                                   dtype=np.uint64))[:e - s]
+        while u.size < e - s:
+            u = np.unique(np.concatenate(
+                [u, rng.integers(0, 2**64, size=e - s, dtype=np.uint64)]
+            ))[:e - s]
+        ids[s:e] = np.sort(u).view(np.int64)
+    tfs = rng.integers(1, 9, size=ids.size, dtype=np.int64)
+    dls = rng.integers(1, 3000, size=ids.size, dtype=np.int64)
+    ref = [encode_blocks(ids[s:e], tfs[s:e], dls[s:e],
+                         block_size=block_size)
+           for s, e in zip(bounds[:-1], bounds[1:])]
+    got = encode_blocks_bulk(bounds, ids, tfs, dls, block_size=block_size)
+    assert len(ref) == len(got)
+    for rb, gb in zip(ref, got):
+        assert rb == gb
