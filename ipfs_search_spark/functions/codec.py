@@ -198,17 +198,23 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
 def encode_blocks_bulk(bounds: np.ndarray, doc_ids: np.ndarray,
                        tfs: np.ndarray, dls: np.ndarray,
+                       positions: np.ndarray | None = None,
                        block_size: int = BLOCK_SIZE) -> list[list[dict]]:
     """Encode MANY terms' posting lists in one vectorized pass.
 
     bounds: int64 array of term segment boundaries (len T+1) over the
     posting arrays, which are sorted by (term, unsigned doc_id) — exactly
     _make_encoder's layout. Equivalent to [encode_blocks(slice_i) for each
-    term i] byte-for-byte (asserted by tests), but the three varbyte
-    payloads are encoded with ONE call each over the whole cell instead of
-    one call per block per payload: profiling showed those ~3×blocks tiny
-    varbyte calls were 83% of the encoder's CPU. Non-positional only —
-    the positional path keeps the per-term encode_blocks."""
+    term i] byte-for-byte (asserted by tests), but each varbyte payload is
+    encoded with ONE call over the whole cell instead of one call per
+    block per payload: profiling showed those ~3×blocks tiny varbyte
+    calls were 83% of the encoder's CPU.
+
+    positions (optional): the cell's flat positional payload in posting
+    order (per-posting lengths = tfs). The positional delta chain restarts
+    at every POSTING, and blocks begin at posting boundaries, so the
+    per-block byte ranges of one global encode are byte-identical to
+    per-block encode_positions calls."""
     n = doc_ids.size
     if n == 0:
         return [[] for _ in range(bounds.size - 1)]
@@ -244,6 +250,22 @@ def encode_blocks_bulk(bounds: np.ndarray, doc_ids: np.ndarray,
     b_ids = buf_ids.tobytes()
     b_tfs = buf_tfs.tobytes()
     b_dls = buf_dls.tobytes()
+    if positions is not None:
+        pos = np.ascontiguousarray(positions, dtype=np.int64)
+        deltas = np.empty(pos.size, dtype=np.int64)
+        if pos.size:
+            deltas[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+        pstarts = np.zeros(n, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=pstarts[1:])
+        deltas[pstarts] = pos[pstarts]  # chain restarts at each posting
+        buf_pos, nb_pos = varbyte_encode_arr(deltas.astype(np.uint64))
+        o_pos = np.zeros(pos.size + 1, dtype=np.int64)
+        np.cumsum(nb_pos, out=o_pos[1:])
+        # element index at each posting boundary (len n+1)
+        ep = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=ep[1:])
+        b_pos = buf_pos.tobytes()
     out: list[list[dict]] = []
     b = 0
     for t in range(nblocks.size):
@@ -258,7 +280,8 @@ def encode_blocks_bulk(bounds: np.ndarray, doc_ids: np.ndarray,
                 "doc_ids": b_ids[o_ids[s]:o_ids[e]],
                 "tfs": b_tfs[o_tfs[s]:o_tfs[e]],
                 "dls": b_dls[o_dls[s]:o_dls[e]],
-                "pos": None,
+                "pos": (b_pos[o_pos[ep[s]]:o_pos[ep[e]]]
+                        if positions is not None else None),
             })
             b += 1
         out.append(blocks)

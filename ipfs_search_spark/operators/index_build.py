@@ -185,9 +185,6 @@ def _make_encoder(block_size: int):
             tfs_all = (run_ends - starts).astype(np.int64)
             codes, ids_all, dls_all = (codes[starts], ids_all[starts],
                                        dls_all[starts])
-            if positional:
-                el_bounds = np.zeros(tfs_all.size + 1, dtype=np.int64)
-                np.cumsum(tfs_all, out=el_bounds[1:])
             seg = np.flatnonzero(np.concatenate(
                 ([True], codes[1:] != codes[:-1])))
             bounds = np.append(seg, codes.size)
@@ -195,19 +192,11 @@ def _make_encoder(block_size: int):
             out_df = (bounds[1:] - bounds[:-1]).tolist()
             out_cf = np.add.reduceat(tfs_all, seg).tolist() \
                 if codes.size else []
-            if positional:
-                out_blocks = [encode_blocks(
-                    ids_all[s:e], tfs_all[s:e], dls_all[s:e],
-                    positions=pos_flat[el_bounds[s]:el_bounds[e]],
-                    block_size=block_size)
-                    for s, e in zip(bounds[:-1], bounds[1:])]
-            else:
-                from ipfs_search_spark.functions.codec import (
-                    encode_blocks_bulk,
-                )
-                out_blocks = encode_blocks_bulk(
-                    bounds, ids_all, tfs_all, dls_all,
-                    block_size=block_size)
+            from ipfs_search_spark.functions.codec import encode_blocks_bulk
+            out_blocks = encode_blocks_bulk(
+                bounds, ids_all, tfs_all, dls_all,
+                positions=pos_flat if positional else None,
+                block_size=block_size)
             n = len(out_terms)
             return pd.DataFrame({
                 "term": out_terms,

@@ -150,3 +150,43 @@ def test_encode_blocks_bulk_bit_identical(n_terms, block_size, seed):
     assert len(ref) == len(got)
     for rb, gb in zip(ref, got):
         assert rb == gb
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.sampled_from([4, 16, 128]),
+       st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_encode_blocks_bulk_positional_bit_identical(n_terms, block_size,
+                                                     seed):
+    """Positional variant: one global delta chain (restarting per posting)
+    sliced at block boundaries must equal per-term encode_blocks with the
+    per-term positional payload."""
+    from ipfs_search_spark.functions.codec import encode_blocks_bulk
+    rng = np.random.default_rng(seed * 13 + n_terms)
+    seg_n = rng.integers(1, 3 * block_size, size=n_terms)
+    bounds = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(seg_n, out=bounds[1:])
+    n = int(bounds[-1])
+    ids = np.empty(n, dtype=np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        u = np.unique(rng.integers(0, 2**64, size=3 * (e - s),
+                                   dtype=np.uint64))[:e - s]
+        while u.size < e - s:
+            u = np.unique(np.concatenate(
+                [u, rng.integers(0, 2**64, size=e - s, dtype=np.uint64)]
+            ))[:e - s]
+        ids[s:e] = np.sort(u).view(np.int64)
+    tfs = rng.integers(1, 5, size=n, dtype=np.int64)
+    dls = rng.integers(1, 900, size=n, dtype=np.int64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(20_000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    ep = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tfs, out=ep[1:])
+    ref = [encode_blocks(ids[s:e], tfs[s:e], dls[s:e],
+                         positions=pos[ep[s]:ep[e]], block_size=block_size)
+           for s, e in zip(bounds[:-1], bounds[1:])]
+    got = encode_blocks_bulk(bounds, ids, tfs, dls, positions=pos,
+                             block_size=block_size)
+    for rb, gb in zip(ref, got):
+        assert rb == gb
