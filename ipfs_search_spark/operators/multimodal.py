@@ -4,14 +4,16 @@ The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Image METADATA decode is real:
 `header_decode` parses jpeg/png/gif/bmp dimensions straight from the
 header bytes in pure python (SOF frame header / IHDR chunk / screen
-descriptor / BITMAPINFOHEADER). PIXEL decode is ALSO real for the
-formats decodable without an external codec: PNG (stdlib zlib inflate +
-numpy scanline unfiltering, all five filter types) and uncompressed BMP
-(frombuffer) — `pixel_decode`, feeding real mean-RGB/luma/skin-ratio
+descriptor / BITMAPINFOHEADER). PIXEL decode is ALSO real for all four
+formats, with no codec library: PNG (stdlib zlib inflate + numpy
+scanline unfiltering, all five filter types), uncompressed BMP
+(frombuffer), baseline JPEG (T.81 Huffman entropy decode + batched
+numpy IDCT — operators/imagecodec.py) and GIF (LZW + interlace,
+same module) — `pixel_decode`, feeding real mean-RGB/luma/skin-ratio
 features (`image_features`, `extract_image_features`) and a rule-based
-`classify_nsfw`. Only jpeg/gif pixel decode remains a documented
-NotImplementedError hook: Huffman entropy coding and LZW genuinely need
-a codec library (PIL/libvips), which this container lacks.
+`classify_nsfw`. The only remaining stub is the learned NSFW model
+weights themselves (the rule-based scorer stands in); progressive JPEG
+and 16-bit/interlaced PNG return None as a per-row signal.
 
 Pattern: mapInPandas over an iterator of Arrow batches — constant memory per
 task regardless of blob sizes; binary columns never pass through Python row
@@ -230,20 +232,24 @@ def _bmp_pixels(blob: bytes):
 
 
 def pixel_decode(blob: bytes):
-    """Decode a blob to an (H, W, C) uint8 pixel array where the container
-    allows it without an external codec: PNG (zlib is stdlib) and
-    uncompressed BMP. JPEG/GIF raise NotImplementedError — arithmetic/
-    Huffman entropy coding and LZW genuinely need a codec library
-    (documented container limitation; this function is the hook)."""
+    """Decode a blob to an (H, W, C) uint8 pixel array, pure python/numpy,
+    no codec library: PNG (zlib is stdlib), uncompressed BMP, baseline
+    JPEG (T.81 Huffman + batched IDCT) and GIF (LZW) via
+    operators/imagecodec.py. Returns None for unknown formats and for
+    in-format variants outside the decoders' documented subsets
+    (progressive JPEG, 16-bit/interlaced/palette PNG, RLE BMP) — a
+    per-row decoder-unavailable signal, never a raise."""
     fmt, _, _ = header_decode(blob)
     if fmt == "png":
         return _png_pixels(blob)
     if fmt == "bmp":
         return _bmp_pixels(blob)
-    if fmt in ("jpeg", "gif"):
-        raise NotImplementedError(
-            f"{fmt} pixel decode needs a codec library (entropy/LZW "
-            "coding) — not in this container")
+    if fmt == "jpeg":
+        from .imagecodec import jpeg_pixels
+        return jpeg_pixels(blob)
+    if fmt == "gif":
+        from .imagecodec import gif_pixels
+        return gif_pixels(blob)
     return None
 
 
@@ -289,13 +295,15 @@ def image_features(pix) -> dict:
 
 def extract_image_features(df: DataFrame, blob_col: str = "blob",
                            url_col: str = "url") -> DataFrame:
-    """binary blobs → REAL pixel features via mapInPandas: decodes PNG and
-    uncompressed BMP in-process (pixel_decode — stdlib zlib + numpy, no
-    codec library) and computes mean RGB / luma / skin-pixel ratio per
-    image. Formats whose pixel decode needs an entropy codec (jpeg, gif)
-    yield NULL feature columns with the format tag — the honest per-row
-    signal for 'decoder unavailable', rather than a job-killing raise.
-    Batch shape, schema and partitioning identical to decode_image_meta."""
+    """binary blobs → REAL pixel features via mapInPandas: decodes PNG,
+    uncompressed BMP, baseline JPEG and GIF in-process (pixel_decode —
+    stdlib zlib + numpy + the pure-python entropy decoders in
+    operators/imagecodec.py) and computes mean RGB / luma / skin-pixel
+    ratio per image. Undecodable variants (progressive JPEG, 16-bit PNG,
+    corrupt streams) yield NULL feature columns with the format tag — the
+    honest per-row signal for 'decoder unavailable', not a job-killing
+    raise. Batch shape, schema, partitioning identical to
+    decode_image_meta."""
     schema = _feature_schema()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -306,9 +314,7 @@ def extract_image_features(df: DataFrame, blob_col: str = "blob",
             for b in pdf[blob_col]:
                 blob = bytes(b) if b is not None else b""
                 fmt, _, _ = header_decode(blob)
-                pix = None
-                if fmt in ("png", "bmp"):
-                    pix = pixel_decode(blob)
+                pix = pixel_decode(blob)
                 rows["format"].append(fmt)
                 if pix is None:
                     for k in ("mean_r", "mean_g", "mean_b", "mean_luma",
@@ -347,16 +353,16 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob",
     fake=True keeps the legacy deterministic stub (byte-derived dims).
     pixels=True verifies dimensions against a REAL pixel decode
     (pixel_decode: PNG via stdlib zlib + numpy unfiltering, uncompressed
-    BMP via frombuffer) where possible; jpeg/gif still raise
-    NotImplementedError from pixel_decode — entropy/LZW coding genuinely
-    needs a codec library this container lacks."""
+    BMP via frombuffer, baseline JPEG and GIF via the pure-python entropy
+    decoders in operators/imagecodec.py); undecodable variants report
+    NULL dimensions."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pixels:
                 metas = []
                 for b in pdf[blob_col]:
                     blob = bytes(b) if b is not None else b""
-                    pix = pixel_decode(blob)  # raises for jpeg/gif
+                    pix = pixel_decode(blob)
                     fmt, _, _ = header_decode(blob)
                     if pix is None:
                         metas.append((fmt, None, None))
@@ -436,14 +442,14 @@ def classify_nsfw_stub(df: DataFrame, blob_col: str = "blob",
 
 def classify_nsfw(df: DataFrame, blob_col: str = "blob",
                   url_col: str = "url") -> DataFrame:
-    """NSFW classification with REAL pixel evidence where the container
-    allows (reference nsfw/extractor.go:81-118): for PNG/BMP blobs the
-    scores derive from actually-decoded pixels (skin-pixel ratio + luma —
-    a deterministic rule-based model standing in for the reference's CNN;
-    the feature extraction is real, only the learned weights are not
-    available here). Undecodable formats (jpeg/gif — entropy/LZW) yield
-    NULL scores with the format tag. Output mirrors the reference's NSFW
-    struct (types/nfsw.go:4-17)."""
+    """NSFW classification with REAL pixel evidence (reference
+    nsfw/extractor.go:81-118): for jpeg/png/gif/bmp blobs the scores
+    derive from actually-decoded pixels (skin-pixel ratio + luma — a
+    deterministic rule-based model standing in for the reference's CNN;
+    the decode and feature extraction are real, only the learned weights
+    are not available here). Undecodable variants yield NULL scores with
+    the format tag. Output mirrors the reference's NSFW struct
+    (types/nfsw.go:4-17)."""
     from pyspark.sql.types import DoubleType
 
     schema = StructType([
@@ -464,7 +470,7 @@ def classify_nsfw(df: DataFrame, blob_col: str = "blob",
                 blob = bytes(b) if b is not None else b""
                 fmt, _, _ = header_decode(blob)
                 rows["format"].append(fmt)
-                pix = pixel_decode(blob) if fmt in ("png", "bmp") else None
+                pix = pixel_decode(blob)
                 if pix is None:
                     for k in ("drawing", "hentai", "neutral", "porn",
                               "sexy"):

@@ -1,0 +1,205 @@
+"""Pure-python JPEG/GIF codecs (operators/imagecodec.py).
+
+Ground truth comes from three independent directions so the encoder and
+decoder cannot hide complementary bugs: (1) exact algebraic cases
+(DC-only JPEG blocks where quantization is lossless), (2) a naive
+double-loop cosine-sum IDCT implemented HERE, cross-checking the
+decoder's batched einsum IDCT, and (3) a hand-verified GIF byte literal
+decoded against its known pixel."""
+
+import numpy as np
+import pytest
+
+from ipfs_search_spark.operators.imagecodec import (
+    ZIGZAG, _dct_matrix, gif_encode, gif_pixels, jpeg_encode_baseline,
+    jpeg_pixels,
+)
+from ipfs_search_spark.operators.multimodal import (
+    classify_nsfw, extract_image_features, header_decode, pixel_decode,
+)
+
+
+def _flat_blocks_image(vals, block=8):
+    """Image of flat 8x8 blocks with the given per-block values (one row
+    of blocks)."""
+    h, w = block, block * len(vals)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        img[:, i * block:(i + 1) * block] = v
+    return img
+
+
+def test_jpeg_dc_only_exact():
+    """Flat blocks + quant 16: F[0,0] = 8*(c-128), quantized to
+    round((c-128)/2) — lossless whenever c-128 is even, so the decode must
+    be bit-exact."""
+    vals = [128, 130, 126, 64, 250, 2]
+    img = _flat_blocks_image([(v, v, v) for v in vals])
+    blob = jpeg_encode_baseline(img)
+    assert header_decode(blob)[0] == "jpeg"
+    got = jpeg_pixels(blob)
+    assert got is not None and got.shape == img.shape
+    assert (got == img).all()
+
+
+def test_jpeg_grayscale_exact_and_channel_shape():
+    vals = [128, 140, 120, 250]
+    img = _flat_blocks_image([(v, v, v) for v in vals])[:, :, :1]
+    blob = jpeg_encode_baseline(img)
+    got = jpeg_pixels(blob)
+    assert got is not None and got.shape == (8, 32, 1)
+    assert (got == img).all()
+
+
+def test_jpeg_idct_vs_naive_cosine_sum():
+    """Decode of a random block at quant=1 must equal a from-scratch
+    double-loop IDCT of the independently quantized coefficients."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    q1 = np.ones(64, dtype=np.int64)
+    blob = jpeg_encode_baseline(img, quant=q1)
+    got = jpeg_pixels(blob)
+    # independent forward path: same orthonormal DCT, integer rounding
+    t = _dct_matrix()
+    f = np.round(t @ (img[:, :, 0].astype(np.float64) - 128.0) @ t.T)
+
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    expect = np.empty((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (c(u) * c(v) / 4.0 * f[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            expect[x, y] = s + 128.0
+    expect = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    assert got is not None and (got[:, :, 0] == expect).all()
+
+
+def test_jpeg_random_rgb_roundtrip_tolerance():
+    """quant=1 keeps only coefficient rounding: every pixel must come back
+    within the rounding-error bound (~4), across multiple MCUs and
+    non-multiple-of-8 dimensions."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(19, 13, 3), dtype=np.uint8)
+    blob = jpeg_encode_baseline(img, quant=np.ones(64, dtype=np.int64))
+    got = jpeg_pixels(blob)
+    assert got is not None and got.shape == img.shape
+    assert np.abs(got.astype(np.int64) - img.astype(np.int64)).max() <= 5
+
+
+def test_jpeg_420_subsampling_and_restart():
+    """4:2:0 chroma + restart markers: constant-color 16x16 tiles make
+    chroma subsampling lossless; DRI path must reset DC predictors at
+    every RSTn."""
+    colors = [(200, 60, 40), (40, 200, 60), (60, 40, 200), (220, 220, 30)]
+    img = np.empty((16, 64, 3), dtype=np.uint8)
+    for i, col in enumerate(colors):
+        img[:, i * 16:(i + 1) * 16] = col
+    blob = jpeg_encode_baseline(img, quant=np.ones(64, dtype=np.int64),
+                                subsample=True, restart=2)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob  # RSTn present
+    got = jpeg_pixels(blob)
+    assert got is not None and got.shape == img.shape
+    assert np.abs(got.astype(np.int64) - img.astype(np.int64)).max() <= 5
+
+
+def test_jpeg_corrupt_returns_none():
+    assert jpeg_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32) is None
+    good = jpeg_encode_baseline(_flat_blocks_image([(128, 128, 128)]))
+    assert jpeg_pixels(good[: len(good) // 2]) is None  # truncated scan
+    assert jpeg_pixels(b"not a jpeg") is None
+
+
+# hand-verified minimal GIF: 1x1, 2-color table (white, black), LZW data
+# 0x44 0x01 = [clear, index 0, end] at 3-bit codes -> one white pixel
+_ONE_WHITE_GIF = bytes([
+    0x47, 0x49, 0x46, 0x38, 0x39, 0x61,          # GIF89a
+    0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00,     # 1x1, GCT of 2
+    0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x00,           # white, black
+    0x2C, 0x00, 0x00, 0x00, 0x00,                 # image, left=top=0
+    0x01, 0x00, 0x01, 0x00, 0x00,                 # 1x1, no LCT
+    0x02, 0x02, 0x44, 0x01, 0x00,                 # min code 2, data
+    0x3B,                                          # trailer
+])
+
+
+def test_gif_known_byte_literal():
+    got = gif_pixels(_ONE_WHITE_GIF)
+    assert got is not None and got.shape == (1, 1, 3)
+    assert (got[0, 0] == [255, 255, 255]).all()
+
+
+@pytest.mark.parametrize("ncolors", [4, 256])
+def test_gif_roundtrip(ncolors):
+    rng = np.random.default_rng(ncolors)
+    palette = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, size=(23, 17), dtype=np.int64)
+    blob = gif_encode(idx, palette)
+    assert header_decode(blob) == ("gif", 17, 23)
+    got = gif_pixels(blob)
+    assert got is not None and got.shape == (23, 17, 3)
+    assert (got == palette[idx]).all()
+
+
+def test_gif_interlaced_roundtrip():
+    rng = np.random.default_rng(42)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(13, 5), dtype=np.int64)
+    blob = gif_encode(idx, palette, interlace=True)
+    got = gif_pixels(blob)
+    assert got is not None and (got == palette[idx]).all()
+
+
+def test_gif_long_stream_code_growth():
+    """Enough distinct patterns to force LZW code-width growth past 9 bits
+    on both sides of the roundtrip."""
+    rng = np.random.default_rng(3)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(40, 40), dtype=np.int64)
+    got = gif_pixels(gif_encode(idx, palette))
+    assert got is not None and (got == palette[idx]).all()
+
+
+def test_gif_corrupt_returns_none():
+    assert gif_pixels(b"GIF89a" + b"\x00" * 8) is None
+    blob = gif_encode(np.zeros((2, 2), dtype=np.int64),
+                      np.zeros((2, 3), dtype=np.uint8))
+    assert gif_pixels(blob[:-6]) is None  # truncated data stream
+
+
+def test_pixel_decode_dispatches_jpeg_and_gif():
+    img = _flat_blocks_image([(130, 130, 130), (64, 64, 64)])
+    assert (pixel_decode(jpeg_encode_baseline(img)) == img).all()
+    palette = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.int64)
+    assert (pixel_decode(gif_encode(idx, palette)) == palette[idx]).all()
+
+
+def test_spark_features_from_jpeg_and_gif(spark):
+    """The feature + NSFW surfaces now carry real pixel evidence for
+    jpeg/gif rows too; corrupt streams still yield NULL features."""
+    skin = np.empty((16, 16, 3), dtype=np.uint8)
+    skin[:] = [210, 120, 60]
+    jblob = jpeg_encode_baseline(skin, quant=np.ones(64, dtype=np.int64))
+    palette = np.array([[210, 120, 60], [10, 10, 10]], dtype=np.uint8)
+    gblob = gif_encode(np.zeros((6, 6), dtype=np.int64), palette)
+    rows = [("jpeg", jblob), ("gif", gblob),
+            ("bad_jpeg", b"\xff\xd8\xff\xdb" + b"\x00" * 16)]
+    df = spark.createDataFrame(rows, "url string, blob binary")
+    feats = {r["url"]: r for r in extract_image_features(df).collect()}
+    assert feats["jpeg"]["width"] == 16 and feats["jpeg"]["height"] == 16
+    # quant=1 decode is within ±5 of the planted skin color
+    assert feats["jpeg"]["skin_ratio"] == pytest.approx(1.0)
+    assert feats["jpeg"]["mean_r"] == pytest.approx(210, abs=5)
+    assert feats["gif"]["skin_ratio"] == pytest.approx(1.0)
+    assert feats["bad_jpeg"]["format"] == "jpeg"
+    assert feats["bad_jpeg"]["skin_ratio"] is None
+    scores = {r["url"]: r for r in classify_nsfw(df).collect()}
+    assert scores["jpeg"]["porn"] == pytest.approx(0.9)
+    assert scores["gif"]["porn"] == pytest.approx(0.9)
+    assert scores["bad_jpeg"]["porn"] is None

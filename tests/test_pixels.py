@@ -102,12 +102,13 @@ def test_bmp_roundtrip_with_padding():
     assert got is not None and (got == pix).all()
 
 
-def test_pixel_decode_dispatch_and_jpeg_raises():
+def test_pixel_decode_dispatch():
     pix = np.zeros((2, 2, 3), dtype=np.uint8)
     assert (pixel_decode(encode_png(pix, [0])) == pix).all()
     assert (pixel_decode(encode_bmp(pix)) == pix).all()
-    with pytest.raises(NotImplementedError):
-        pixel_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    # corrupt jpeg: per-row None signal (real decode lives in
+    # test_imagecodec.py)
+    assert pixel_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32) is None
     assert pixel_decode(b"not an image") is None
 
 
@@ -125,7 +126,7 @@ def test_image_features_known_values():
 
 def test_spark_feature_and_nsfw_surfaces(spark):
     """extract_image_features / classify_nsfw end-to-end: real decode for
-    png+bmp rows, NULL features for a jpeg row (entropy-coded — decoder
+    png+bmp rows, NULL features for a CORRUPT jpeg row (decoder
     unavailable is a per-row signal, not a job failure)."""
     rng = np.random.default_rng(9)
     skin = np.empty((6, 6, 3), dtype=np.uint8)
