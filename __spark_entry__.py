@@ -1498,6 +1498,59 @@ def q_multimodal_meta(spark, sf_dir):
                  F.coalesce(F.sum("height"), F.lit(0)).alias("sum_h")))
 
 
+def q_image_features(spark, sf_dir):
+    """REAL entropy decode in the correctness gate: blobs are planted with
+    the package's own encoders (operators/imagecodec.py) in exactly-
+    lossless configurations — DC-only grayscale baseline JPEG (flat 8x8
+    block whose even-offset gray level survives quantize/dequantize
+    bit-exactly through the T.81 Huffman + IDCT path) and flat-palette
+    GIF (LZW is lossless) — then decoded back by extract_image_features'
+    mapInPandas pixel path. The DuckDB oracle derives every expected
+    feature (dims, channel means, luma, skin ratio) from doc_id
+    arithmetic alone, so any bit error anywhere in the entropy coders
+    breaks the value hash. Reference: the NSFW extractor decodes pixels
+    before scoring (/root/reference/components/extractor/nsfw/
+    extractor.go:81-118)."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from ipfs_search_spark.operators.imagecodec import (
+        gif_encode, jpeg_encode_baseline,
+    )
+    from ipfs_search_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    @F.pandas_udf(BinaryType())
+    def mk_blob(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            if i % 2 == 0:
+                v = 100 + 2 * (i % 60)  # even offset from 128: lossless
+                img = np.full((8, 8, 1), v, dtype=np.uint8)
+                out.append(jpeg_encode_baseline(img))
+            else:
+                col = [210, 120, 60] if i % 4 == 1 else [10, 200, 30]
+                pal = np.array([col, [0, 0, 0]], dtype=np.uint8)
+                idx = np.zeros((i % 3 + 2, i % 5 + 2), dtype=np.int64)
+                out.append(gif_encode(idx, pal))
+        return pd.Series(out)
+
+    blobs = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        mk_blob("doc_id").alias("blob"))
+    feats = extract_image_features(blobs)
+    return feats.select(
+        "url", "format", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("skin_ratio", 6).alias("skin_ratio"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """REAL Structured Streaming execution of the sniffer's last-seen dedup
     (/root/reference/components/sniffer/providerfilters/lastseenfilter.go:
@@ -1607,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": q_topk_orders,
         "q_recency_filter": q_recency_filter,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_image_features": q_image_features,
         "q_mime_gate": q_mime_gate,
         "q_url_validity": q_url_validity,
         "q_streaming_dedup": q_streaming_dedup,
@@ -2033,6 +2087,34 @@ SELECT format, count(*) AS n,
        coalesce(CAST(sum(w) AS BIGINT), 0) AS sum_w,
        coalesce(CAST(sum(h) AS BIGINT), 0) AS sum_h
 FROM b GROUP BY 1
+""",
+        "q_image_features": """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8
+                 ELSE doc_id % 5 + 2 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8
+                 ELSE doc_id % 3 + 2 END AS INTEGER) AS height,
+       ROUND(CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + 2 * (doc_id % 60)
+                       WHEN doc_id % 4 = 1 THEN 210
+                       ELSE 10 END AS DOUBLE), 6) AS mean_r,
+       ROUND(CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + 2 * (doc_id % 60)
+                       WHEN doc_id % 4 = 1 THEN 120
+                       ELSE 200 END AS DOUBLE), 6) AS mean_g,
+       ROUND(CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + 2 * (doc_id % 60)
+                       WHEN doc_id % 4 = 1 THEN 60
+                       ELSE 30 END AS DOUBLE), 6) AS mean_b,
+       ROUND(CASE WHEN doc_id % 2 = 0
+                  THEN 0.299 * (100 + 2 * (doc_id % 60))
+                     + 0.587 * (100 + 2 * (doc_id % 60))
+                     + 0.114 * (100 + 2 * (doc_id % 60))
+                  WHEN doc_id % 4 = 1
+                  THEN 0.299 * 210 + 0.587 * 120 + 0.114 * 60
+                  ELSE 0.299 * 10 + 0.587 * 200 + 0.114 * 30
+             END, 6) AS mean_luma,
+       ROUND(CASE WHEN doc_id % 4 = 1 THEN 1.0 ELSE 0.0 END, 6)
+           AS skin_ratio
+FROM documents WHERE doc_id < 200
 """,
         "q_mime_gate": """
 WITH typed AS (
