@@ -39,18 +39,39 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+ALIASES_TABLE = "_aliases"
+
+
 class TableIO:
-    """Read/write named engine tables on Iceberg or a parquet root dir."""
+    """Read/write named engine tables on Iceberg or a parquet root dir.
+
+    S12 — alias resolution: every READ surface (`read`, `exists`)
+    resolves table aliases exactly like the reference resolves
+    OpenSearch index aliases before routing bulk requests
+    (/root/reference/components/index/opensearch/bulkgetter/
+    bulkrequest.go:87-105, GET /<index_or_alias>/_alias). Aliases live
+    in a tiny `_aliases` table; `set_aliases` replaces the WHOLE map in
+    one atomic swap, mirroring the atomic multi-action `POST /_aliases`
+    remove+add flip the reference's reindex procedure uses for
+    zero-downtime migration (/root/reference/docs/indices/README.md:
+    50-58). Deviations, both deliberate: writes are literal (writing
+    through an alias raises — flips are explicit, so a write can never
+    shadow an alias), and alias chains are rejected at set time (as in
+    OpenSearch, aliases point only at concrete tables)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.iceberg = "/" not in root and _iceberg_available(spark)
+        self._aliases_cache: dict[str, str] | None = None
+        self._aliases_mtime: int | None = None
 
     def _path(self, name: str) -> str:
         return f"{self.root}.{name}" if self.iceberg else os.path.join(self.root, name)
 
-    def exists(self, name: str) -> bool:
+    # ---------------------------------------------------- aliases ----
+
+    def _exists_concrete(self, name: str) -> bool:
         if self.iceberg:
             return self.spark.catalog.tableExists(self._path(name))
         p = self._path(name)
@@ -58,13 +79,96 @@ class TableIO:
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
+    def aliases(self) -> dict[str, str]:
+        """Current alias -> concrete-table map. Parquet fallback reads
+        the tiny `_aliases` file driver-side with pyarrow and caches on
+        the directory mtime (the atomic swap always changes it), so
+        resolution costs one os.stat per read — never a Spark job."""
+        if self.iceberg:
+            if self._aliases_cache is None:
+                self._aliases_cache = (
+                    {r["alias"]: r["target"] for r in
+                     self.spark.read.table(
+                         self._path(ALIASES_TABLE)).collect()}
+                    if self._exists_concrete(ALIASES_TABLE) else {})
+            return self._aliases_cache
+        p = self._path(ALIASES_TABLE)
+        try:
+            mt = os.stat(p).st_mtime_ns
+        except OSError:
+            self._aliases_cache, self._aliases_mtime = {}, None
+            return {}
+        if self._aliases_cache is None or mt != self._aliases_mtime:
+            import pyarrow.parquet as pq
+            m: dict[str, str] = {}
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(p, f))
+                    m.update(zip(t["alias"].to_pylist(),
+                                 t["target"].to_pylist()))
+            self._aliases_cache, self._aliases_mtime = m, mt
+        return self._aliases_cache
+
+    def resolve(self, name: str) -> str:
+        """Alias -> concrete table name; identity for concrete names
+        (the reference's resolveAlias, bulkrequest.go:87-105)."""
+        if name == ALIASES_TABLE:
+            return name
+        return self.aliases().get(name, name)
+
+    def set_aliases(self, actions: dict[str, str | None]) -> None:
+        """Apply alias adds/removes (None target = remove) in ONE atomic
+        replacement of the alias map — the semantics of the reference's
+        multi-action POST /_aliases (docs/indices/README.md:50-58): a
+        reader sees either every action or none. Validates like
+        OpenSearch: targets must be existing concrete tables (no
+        chains), an alias may not shadow a concrete table."""
+        new = dict(self.aliases())
+        for alias, target in actions.items():
+            if target is None:
+                new.pop(alias, None)
+                continue
+            if alias == ALIASES_TABLE or self._exists_concrete(alias):
+                raise ValueError(
+                    f"alias {alias!r} would shadow a concrete table")
+            if target in new or target == ALIASES_TABLE:
+                raise ValueError(
+                    f"alias chain rejected: {target!r} is itself an "
+                    "alias")
+            if not self._exists_concrete(target):
+                raise ValueError(
+                    f"alias target {target!r} does not exist")
+            new[alias] = target
+        self.write_rows(ALIASES_TABLE, sorted(new.items()),
+                        "alias string, target string")
+        self._aliases_cache = None
+
+    def set_alias(self, alias: str, target: str) -> None:
+        self.set_aliases({alias: target})
+
+    def drop_alias(self, alias: str) -> None:
+        self.set_aliases({alias: None})
+
+    # ----------------------------------------------------- tables ----
+
+    def exists(self, name: str) -> bool:
+        return self._exists_concrete(self.resolve(name))
+
     def read(self, name: str) -> DataFrame:
+        name = self.resolve(name)
         if self.iceberg:
             return self.spark.read.table(self._path(name))
         return self.spark.read.parquet(self._path(name))
 
+    def _check_writable(self, name: str) -> None:
+        if name != ALIASES_TABLE and name in self.aliases():
+            raise ValueError(
+                f"{name!r} is an alias — writes are literal; point the "
+                "alias at a new concrete table with set_aliases instead")
+
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
+        self._check_writable(name)
         if self.iceberg:
             w = df.writeTo(self._path(name))
             if mode == "overwrite":
@@ -91,7 +195,12 @@ class TableIO:
         window); Spark reads it identically. Iceberg keeps the
         transactional Spark path. `schema` is the same DDL string the
         Spark path would use."""
+        self._check_writable(name)
         if self.iceberg:
+            if name == ALIASES_TABLE:  # write() would re-check
+                df = self.spark.createDataFrame(rows, schema)
+                df.writeTo(self._path(name)).createOrReplace()
+                return
             self.write(self.spark.createDataFrame(rows, schema), name)
             return
         import pyarrow as pa
@@ -137,7 +246,11 @@ class TableIO:
 
     def drop(self, name: str) -> None:
         """Remove a table (no-op when absent). Parquet fallback: rename
-        out of the root first so readers never see a half-deleted dir."""
+        out of the root first so readers never see a half-deleted dir.
+        Alias names raise — use drop_alias (dropping through an alias
+        would silently destroy the target)."""
+        if name in self.aliases():
+            raise ValueError(f"{name!r} is an alias — use drop_alias")
         if self.iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._path(name)}")
             return
@@ -162,6 +275,7 @@ class TableIO:
     def append_atomic(self, df: DataFrame, name: str) -> None:
         """Idempotent-friendly append: Iceberg append is atomic; the parquet
         fallback stages to a temp dir then moves files in (commit point)."""
+        self._check_writable(name)
         if self.iceberg:
             self.write(df, name, mode="append")
             return
