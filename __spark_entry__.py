@@ -1551,6 +1551,51 @@ def q_image_features(spark, sf_dir):
         F.round("skin_ratio", 6).alias("skin_ratio"))
 
 
+def q_cid_decode(spark, sf_dir):
+    """C11 — CID decode against an INDEPENDENT digest oracle: the engine
+    plants CIDv0 base58btc / CIDv1 base32 strings whose multihash digest
+    is sha256(doc_id), decodes them back through the Arrow-batched
+    with_cid_decoded surface (functions/cids.py — the reference's
+    cid.Decode + CidFilter, /root/reference/components/sniffer/
+    providerfilters/cidfilter.go:28-47), and DuckDB recomputes the
+    expected digest with ITS OWN sha256 — any bit error in base58/
+    base32/varint/multihash parsing breaks the value hash."""
+    import hashlib
+
+    from pyspark.sql.types import StringType
+
+    from ipfs_search_spark.functions.cids import (
+        cid_encode_v0, cid_encode_v1, with_cid_decoded,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    @F.pandas_udf(StringType())
+    def mk_cid(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            digest = hashlib.sha256(str(i).encode()).digest()
+            if i % 3 == 0:
+                out.append(cid_encode_v0(digest))
+            elif i % 3 == 1:
+                out.append(cid_encode_v1(0x55, digest))
+            else:
+                out.append(cid_encode_v1(0x71, digest))
+        return pd.Series(out)
+
+    cids = docs.select(F.col("doc_id").cast("string").alias("url"),
+                       mk_cid("doc_id").alias("cid_str"))
+    dec = with_cid_decoded(cids, "cid_str")
+    return dec.select(
+        "url",
+        dec["cid"]["version"].alias("version"),
+        dec["cid"]["codec"].alias("codec"),
+        dec["cid"]["mh_algo"].alias("mh_algo"),
+        dec["cid"]["digest_hex"].alias("digest_hex"),
+        dec["cid"]["supported"].alias("supported"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """REAL Structured Streaming execution of the sniffer's last-seen dedup
     (/root/reference/components/sniffer/providerfilters/lastseenfilter.go:
@@ -1661,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recency_filter": q_recency_filter,
         "q_multimodal_meta": q_multimodal_meta,
         "q_image_features": q_image_features,
+        "q_cid_decode": q_cid_decode,
         "q_mime_gate": q_mime_gate,
         "q_url_validity": q_url_validity,
         "q_streaming_dedup": q_streaming_dedup,
@@ -2115,6 +2161,18 @@ SELECT CAST(doc_id AS VARCHAR) AS url,
        ROUND(CASE WHEN doc_id % 4 = 1 THEN 1.0 ELSE 0.0 END, 6)
            AS skin_ratio
 FROM documents WHERE doc_id < 200
+""",
+        "q_cid_decode": """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INTEGER)
+           AS version,
+       CASE WHEN doc_id % 3 = 0 THEN 'dag-pb'
+            WHEN doc_id % 3 = 1 THEN 'raw'
+            ELSE 'dag-cbor' END AS codec,
+       'sha2-256' AS mh_algo,
+       sha256(CAST(doc_id AS VARCHAR)) AS digest_hex,
+       doc_id % 3 <> 2 AS supported
+FROM documents WHERE doc_id < 300
 """,
         "q_mime_gate": """
 WITH typed AS (
