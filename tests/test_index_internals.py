@@ -76,10 +76,12 @@ def test_multimodal_plumbing(spark):
     assert real["u2"]["format"] == "png" and real["u2"]["width"] is None
     assert real["u3"]["format"] == "unknown"
 
-    with pytest.raises(Exception) as ei:
-        decode_image_meta(df, pixels=True).collect()
-    assert "NotImplementedError" in str(ei.value) or \
-        isinstance(ei.value, NotImplementedError)
+    # pixels=True: a corrupt entropy stream is a per-row NULL, never a
+    # job failure (real jpeg/gif decode lives in test_imagecodec.py)
+    pix = {r["url"]: r for r in
+           decode_image_meta(df, pixels=True).collect()}
+    assert pix["u1"]["format"] == "jpeg" and pix["u1"]["width"] is None
+    assert pix["u3"]["format"] == "unknown"
 
     frames = frame_sample_plan(df, every_n=1).collect()
     assert {r["url"] for r in frames} == {"u1", "u2", "u3"}
