@@ -393,6 +393,21 @@ def _record_sweep(entry: dict) -> None:
         json.dump(hist, f, indent=1)
 
 
+# adjacency notes between build tags whose timed HOT LOOPS are identical —
+# verified by hashing the predecessor tree with the same _engine_version
+# units (e.g. `git worktree add <tmp> <commit>` + _engine_version there).
+# Rendered into BENCH.md so a floor comparison across such tags is
+# readable as one engine where that is actually true.
+BUILD_LINEAGE = {
+    "build-fc409db5a0":
+        " Lineage: build-fc409db5a0 differs from build-3a1bf56677 ONLY "
+        "by the catalog alias layer (S12: TableIO.read resolves aliases "
+        "— one driver-side os.stat per table OPEN, zero per-row work); "
+        "every index-build hot loop is byte-identical, so 3a1bf5 floors "
+        "remain directly comparable.",
+}
+
+
 def _engine_version() -> str:
     """Source hash of the callables on the scaling build's timed path, so
     floors are compared per BUILD version (r4 verdict: a merged ratio
@@ -819,7 +834,8 @@ def write_bench_md(payload: dict) -> None:
             f"current build ({cur_tag}, a source hash of the timed build "
             "path) — that column is the headline per-version number; "
             "per-version floors for every recorded build live in "
-            "sweep_summary()'s per_engine field.",
+            "sweep_summary()'s per_engine field."
+            + BUILD_LINEAGE.get(cur_tag, ""),
             "",
             "Per-session raw efficiency vs the SAME window's concurrent "
             "memcpy envelope (every gated session in the history — the "
