@@ -405,6 +405,15 @@ BUILD_LINEAGE = {
         "— one driver-side os.stat per table OPEN, zero per-row work); "
         "every index-build hot loop is byte-identical, so 3a1bf5 floors "
         "remain directly comparable.",
+    "build-bd4b4e1cc6":
+        " Lineage: build-bd4b4e1cc6 differs from build-3a1bf56677 only "
+        "in the catalog layer — alias resolution on read (one "
+        "driver-side os.stat per table OPEN) and crash-safe overwrite "
+        "(Spark writes each table to a .tmp- dir, then one directory "
+        "rename swaps it live: identical bytes written, plus ~2 "
+        "driver-side renames per build). Every tokenize/encode/shuffle "
+        "hot loop is byte-identical, so 3a1bf5 floors remain directly "
+        "comparable.",
 }
 
 

@@ -175,11 +175,27 @@ class TableIO:
                 w.createOrReplace()
             else:
                 w.append()
+            if name == ALIASES_TABLE:
+                self._aliases_cache = None
             return
-        w = df.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self._path(name))
+        dest = self._path(name)
+        if mode == "overwrite":
+            # stage + swap: the previous table survives a mid-write crash
+            # and concurrent readers never see a half-written directory
+            # (Iceberg's transactional commit is the production form)
+            tmp = dest + ".tmp-" + uuid.uuid4().hex[:8]
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            self._swap_dir(tmp, dest)
+        else:
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(dest)
+        if name == ALIASES_TABLE:
+            self._aliases_cache = None
 
     _PA_TYPES = {"long": "int64", "bigint": "int64", "int": "int32",
                  "double": "float64", "boolean": "bool", "string": "string"}
@@ -200,6 +216,7 @@ class TableIO:
             if name == ALIASES_TABLE:  # write() would re-check
                 df = self.spark.createDataFrame(rows, schema)
                 df.writeTo(self._path(name)).createOrReplace()
+                self._aliases_cache = None
                 return
             self.write(self.spark.createDataFrame(rows, schema), name)
             return
@@ -220,6 +237,8 @@ class TableIO:
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         open(os.path.join(tmp, "_SUCCESS"), "a").close()
         self._swap_dir(tmp, dest)
+        if name == ALIASES_TABLE:
+            self._aliases_cache = None
 
     @staticmethod
     def _swap_dir(tmp: str, dest: str) -> None:
@@ -262,19 +281,35 @@ class TableIO:
         import shutil
         shutil.rmtree(tomb, ignore_errors=True)
 
+    _WORK_DIR_MARKS = (".tmp-", ".staging-", ".old-", ".dropped-")
+
     def tables(self) -> list[str]:
-        """Names of existing engine tables under this root."""
+        """Names of existing engine tables under this root. The engine's
+        own working directories (.tmp-/.staging-/.old-/.dropped- suffixes
+        from the swap/append/drop protocols) are never tables, even when
+        a crash strands one with part files inside — otherwise a snapshot
+        export would immortalize the orphan as a real table."""
         if self.iceberg:
             return [t.name for t in
                     self.spark.catalog.listTables(self.root)]
         if not os.path.isdir(self.root):
             return []
-        return sorted(n for n in os.listdir(self.root)
-                      if self.exists(n))
+        return sorted(
+            n for n in os.listdir(self.root)
+            if not any(m in n for m in self._WORK_DIR_MARKS)
+            and self.exists(n))
 
     def append_atomic(self, df: DataFrame, name: str) -> None:
-        """Idempotent-friendly append: Iceberg append is atomic; the parquet
-        fallback stages to a temp dir then moves files in (commit point)."""
+        """Append with Iceberg's transactional commit in production. The
+        parquet fallback stages the batch then moves files in — one
+        os.rename per part file, which is NOT a single commit point for
+        multi-file batches: a crash mid-loop leaves a prefix of the batch
+        appended and the rest in a .staging- dir (excluded from tables()
+        and snapshots). The engine tolerates this by ORDERING its append
+        chains so a torn tail is detectable and harmless (segment stats
+        land before their segment and segments carry their batch_id —
+        see ingest_stream/checkpoints); exactly-once at this layer is
+        Iceberg's job, not the fallback's."""
         self._check_writable(name)
         if self.iceberg:
             self.write(df, name, mode="append")

@@ -71,7 +71,10 @@ def base58btc_encode(b: bytes) -> str:
 def base32_decode(s: str, alphabet_index: dict | None = None) -> \
         bytes | None:
     """RFC4648 base32, no padding. Default lowercase (multibase 'b');
-    pass an uppercase index for the provider-key RawStdEncoding."""
+    pass an uppercase index for the provider-key RawStdEncoding.
+    Canonical-strict like Go's encoding/base32 (the reference's decoder,
+    keytocid.go:21): lengths of 1/3/6 mod 8 chars (>=5 leftover bits) and
+    non-zero trailing bits are rejected, not silently absorbed."""
     idx = alphabet_index or _B32_INDEX
     acc = nbits = 0
     out = bytearray()
@@ -84,6 +87,8 @@ def base32_decode(s: str, alphabet_index: dict | None = None) -> \
         if nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+    if nbits >= 5:
+        return None  # impossible unpadded length (1/3/6 mod 8 chars)
     if acc & ((1 << nbits) - 1):
         return None  # non-zero trailing bits: not a canonical encoding
     return bytes(out)

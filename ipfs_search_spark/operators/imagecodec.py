@@ -196,19 +196,19 @@ def jpeg_pixels(blob: bytes):
                 while p < len(payload):
                     pq, tq = payload[p] >> 4, payload[p] & 15
                     p += 1
-                    if pq == 0:
-                        tab = np.frombuffer(
-                            payload[p:p + 64], dtype=np.uint8
-                        ).astype(np.int64)
-                        p += 64
-                    else:
-                        tab = np.frombuffer(
-                            payload[p:p + 128], dtype=">u2"
-                        ).astype(np.int64)
-                        p += 128
-                    if tab.size != 64:
-                        return None
-                    qt[tq] = tab
+                    nbytes = 64 if pq == 0 else 128
+                    chunk = payload[p:p + nbytes]
+                    if len(chunk) != nbytes:
+                        return None  # truncated table
+                    tab = np.frombuffer(
+                        chunk, dtype=np.uint8 if pq == 0 else ">u2"
+                    ).astype(np.int64)
+                    p += nbytes
+                    # T.81 B.2.4.1: DQT elements arrive in ZIGZAG order —
+                    # store natural-order for the dequantize multiply
+                    nat = np.empty(64, dtype=np.int64)
+                    nat[ZIGZAG] = tab
+                    qt[tq] = nat
             elif marker == 0xC4:  # DHT: one or more tables per segment
                 p = 0
                 while p + 17 <= len(payload):
@@ -234,12 +234,23 @@ def jpeg_pixels(blob: bytes):
                     hv = payload[7 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                                   "tq": payload[8 + 3 * c]})
+                # T.81 allows factors 1-4; the assembly below additionally
+                # needs integer upsampling ratios (covers every standard
+                # layout: 4:4:4, 4:2:2, 4:2:0, 4:1:1, grayscale) — other
+                # mixes return the documented None, never a raise
+                if any(not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4
+                       for c in comps):
+                    return None
+                hm = max(c["h"] for c in comps)
+                vm = max(c["v"] for c in comps)
+                if any(hm % c["h"] or vm % c["v"] for c in comps):
+                    return None
                 frame = (h, w, comps)
             elif marker == 0xDD:  # DRI
                 restart = int.from_bytes(payload[0:2], "big")
             elif marker == "scan":
                 scan = (payload, extra)  # (entropy segments, SOS header)
-    except (IndexError, struct.error):
+    except (IndexError, ValueError, struct.error):
         return None
     if frame is None or scan is None:
         return None
@@ -375,9 +386,9 @@ def _canonical_table(symbols: list[int]) -> tuple[list[int], bytes, dict]:
     Returns (bits[16], vals, symbol -> (code, length))."""
     syms = sorted(set(symbols))
     n = len(syms)
-    ln = max(1, (n).bit_length())  # n < 2^ln  (n+1 <= 2^ln)
-    if n >= (1 << ln):
-        ln += 1
+    # n < 2^bit_length(n) always holds, so codes 0..n-1 at this length
+    # never include the all-ones code
+    ln = max(1, (n).bit_length())
     bits = [0] * 16
     bits[ln - 1] = n
     enc = {s: (i, ln) for i, s in enumerate(syms)}
@@ -422,9 +433,17 @@ def jpeg_encode_baseline(pix: np.ndarray, quant: np.ndarray | None = None,
         """(blocks_y, blocks_x, 8, 8) of quantized coefficients."""
         if (hi, vi) != (hmax, vmax):
             fy, fx = vmax // vi, hmax // hi
-            hh = (plane.shape[0] // fy) * fy
-            ww = (plane.shape[1] // fx) * fx
-            pl = plane[:hh, :ww].reshape(hh // fy, fy, ww // fx, fx)
+            # edge-replicate UP to a factor multiple before the 2x2 mean
+            # (truncating a sub-factor dimension to zero rows would
+            # zero-fill chroma — a color cast — instead of staying
+            # faithful to the edge pixels)
+            hh = -(-plane.shape[0] // fy) * fy
+            ww = -(-plane.shape[1] // fx) * fx
+            if (hh, ww) != plane.shape:
+                py = hh - plane.shape[0]
+                px = ww - plane.shape[1]
+                plane = np.pad(plane, ((0, py), (0, px)), mode="edge")
+            pl = plane.reshape(hh // fy, fy, ww // fx, fx)
             plane = pl.mean(axis=(1, 3))
         th, tw = mcuy * vi * 8, mcux * hi * 8
         pad = np.empty((th, tw), dtype=np.float64)
@@ -480,7 +499,8 @@ def jpeg_encode_baseline(pix: np.ndarray, quant: np.ndarray | None = None,
         out.extend(struct.pack(">H", len(payload) + 2))
         out.extend(payload)
 
-    seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant))
+    # T.81 B.2.4.1: DQT payload is the table in ZIGZAG scan order
+    seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant[ZIGZAG]))
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):

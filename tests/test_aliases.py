@@ -92,6 +92,38 @@ def test_searcher_reads_through_aliases(spark, built_index, tmp_path):
     assert got == baseline
 
 
+def test_tables_exclude_stranded_working_dirs(spark, tmp_path):
+    """A crash can strand .tmp-/.staging- dirs full of part files; they
+    must never surface as tables (or an export would immortalize them)."""
+    io = TableIO(spark, str(tmp_path / "w"))
+    io.write(spark.range(3).toDF("x"), "real")
+    for mark in ("real.tmp-dead1234", "other.staging-dead5678",
+                 "gone.old-dead9abc", "x.dropped-deaddef0"):
+        os.makedirs(str(tmp_path / "w" / mark))
+        with open(str(tmp_path / "w" / mark / "part-0.parquet"), "wb"):
+            pass
+        open(str(tmp_path / "w" / mark / "_SUCCESS"), "a").close()
+    assert io.tables() == ["real"]
+    snap = str(tmp_path / "w-snap")
+    export_snapshot(io, snap)
+    rio = TableIO(spark, str(tmp_path / "w-restored"))
+    assert set(restore_snapshot(snap, rio)) == {"real"}
+
+
+def test_overwrite_goes_through_staging_swap(spark, tmp_path):
+    """write() overwrite stages then swaps: mid-write, the OLD table stays
+    fully readable (no Spark-side delete-then-write window), and the
+    final state is the new data."""
+    io = TableIO(spark, str(tmp_path / "o"))
+    io.write(spark.range(4).toDF("x"), "t")
+    # simulate the mid-write moment: a populated .tmp- staging dir exists
+    # while the live table is still the old one
+    import glob
+    io.write(spark.range(9).toDF("x"), "t")
+    assert io.read("t").count() == 9
+    assert not glob.glob(str(tmp_path / "o" / "t.tmp-*"))  # swapped away
+
+
 def test_snapshot_carries_aliases(spark, tmp_path):
     io = TableIO(spark, str(tmp_path / "s"))
     io.write(spark.range(7).toDF("x"), "t_v1")

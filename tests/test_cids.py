@@ -25,6 +25,10 @@ def test_base32_rfc4648_vectors():
         assert base32_decode(enc) == raw
     assert base32_decode("m1") is None        # invalid char
     assert base32_decode("mz") is None        # non-canonical trailing bits
+    # impossible unpadded lengths (1/3/6 mod 8): Go's decoder errors, so
+    # the reference's CidFilter drops these — we must too
+    assert base32_decode("m") is None
+    assert base32_decode("mzx") is None
 
 
 def test_base58btc_vectors():
@@ -70,6 +74,9 @@ def test_multibase_z_and_f():
     assert cid_decode_str("z" + base58btc_encode(raw))["digest"] == digest
     assert cid_decode_str("f" + raw.hex())["digest"] == digest
     assert cid_decode_str("Z" + base58btc_encode(raw)) is None  # unknown mb
+    # a trailing char adds 5 zero bits: non-canonical length, go-cid
+    # rejects it (CorruptInputError) — parity requires None here
+    assert cid_decode_str(cid_encode_v1(0x55, digest) + "a") is None
 
 
 def test_provider_key_roundtrip():

@@ -108,6 +108,62 @@ def test_jpeg_420_subsampling_and_restart():
     assert np.abs(got.astype(np.int64) - img.astype(np.int64)).max() <= 5
 
 
+def test_jpeg_dqt_is_zigzag_on_the_wire():
+    """T.81 B.2.4.1: the DQT segment carries the table in ZIGZAG order.
+    Self-roundtrips cannot catch an order bug (encoder+decoder would
+    agree with each other while disagreeing with the spec), so this
+    pins the wire bytes directly against the ZIGZAG permutation."""
+    quant = np.arange(1, 65, dtype=np.int64)  # strongly non-uniform
+    img = np.full((8, 8, 1), 130, dtype=np.uint8)
+    blob = jpeg_encode_baseline(img, quant=quant)
+    i = blob.index(b"\xff\xdb")
+    payload = blob[i + 5:i + 5 + 64]  # after marker, length, PqTq
+    assert list(payload) == [int(q) for q in quant[ZIGZAG]]
+
+
+def test_jpeg_nonuniform_quant_vs_naive_idct():
+    """Decode with a non-uniform table must match a from-scratch
+    dequantize (NATURAL-order table) + cosine-sum IDCT — catches any
+    zigzag/natural confusion in the dequantize multiply."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    quant = np.arange(1, 65, dtype=np.int64)
+    got = jpeg_pixels(jpeg_encode_baseline(img, quant=quant))
+    t = _dct_matrix()
+    f = np.round(t @ (img[:, :, 0].astype(np.float64) - 128.0) @ t.T
+                 / quant.reshape(8, 8)) * quant.reshape(8, 8)
+    expect = np.clip(np.round(t.T @ f @ t + 128.0), 0, 255)
+    assert got is not None and (got[:, :, 0] == expect).all()
+
+
+def test_jpeg_malformed_structures_return_none():
+    """Structural corruption is a per-row None, never a raise: truncated
+    16-bit DQT (np.frombuffer size error), zero sampling factors, and
+    non-integer-ratio factor mixes."""
+    assert jpeg_pixels(
+        b"\xff\xd8\xff\xdb\x00\x06\x10\x01\x02\x03\xff\xd9") is None
+    good = jpeg_encode_baseline(
+        np.full((8, 8, 3), 128, dtype=np.uint8))
+    sof = good.index(b"\xff\xc0")
+    hv_off = sof + 11  # first component's HiVi byte
+    broken = bytearray(good)
+    broken[hv_off] = 0x00  # h=v=0
+    assert jpeg_pixels(bytes(broken)) is None
+    broken = bytearray(good)
+    broken[hv_off] = 0x32  # 3x2 vs 1x1 others: non-integer ratio mix
+    assert jpeg_pixels(bytes(broken)) is None
+
+
+def test_jpeg_subsample_tiny_dims_keep_neutral_chroma():
+    """A 1-row image under 4:2:0 must edge-replicate into the chroma
+    mean, not zero-fill (zero-filled Cb/Cr = strong color cast)."""
+    img = np.full((1, 16, 3), 128, dtype=np.uint8)
+    got = jpeg_pixels(jpeg_encode_baseline(
+        img, quant=np.ones(64, dtype=np.int64), subsample=True))
+    assert got is not None and got.shape == (1, 16, 3)
+    assert np.abs(got.astype(np.int64) - 128).max() <= 2
+
+
 def test_jpeg_corrupt_returns_none():
     assert jpeg_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32) is None
     good = jpeg_encode_baseline(_flat_blocks_image([(128, 128, 128)]))
