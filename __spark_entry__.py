@@ -1498,30 +1498,21 @@ def q_multimodal_meta(spark, sf_dir):
                  F.coalesce(F.sum("height"), F.lit(0)).alias("sum_h")))
 
 
-def q_image_features(spark, sf_dir):
-    """REAL entropy decode in the correctness gate: blobs are planted with
-    the package's own encoders (operators/imagecodec.py) in exactly-
-    lossless configurations — DC-only grayscale baseline JPEG (flat 8x8
-    block whose even-offset gray level survives quantize/dequantize
-    bit-exactly through the T.81 Huffman + IDCT path) and flat-palette
-    GIF (LZW is lossless) — then decoded back by extract_image_features'
-    mapInPandas pixel path. The DuckDB oracle derives every expected
-    feature (dims, channel means, luma, skin ratio) from doc_id
-    arithmetic alone, so any bit error anywhere in the entropy coders
-    breaks the value hash. Reference: the NSFW extractor decodes pixels
-    before scoring (/root/reference/components/extractor/nsfw/
-    extractor.go:81-118)."""
+def _planted_image_blobs(spark, sf_dir, limit=200):
+    """Exactly-lossless planted image blobs keyed on doc_id arithmetic:
+    even ids → DC-only grayscale baseline JPEG (flat 8x8 block, even
+    offset from 128 so quantize/dequantize is bit-exact); odd ids → flat
+    2-color GIF (LZW lossless), skin color for id%4==1, non-skin for
+    id%4==3. The q_image_features / q_nsfw oracles derive every expected
+    value from the same arithmetic."""
     import numpy as np
     from pyspark.sql.types import BinaryType
 
     from ipfs_search_spark.operators.imagecodec import (
         gif_encode, jpeg_encode_baseline,
     )
-    from ipfs_search_spark.operators.multimodal import (
-        extract_image_features,
-    )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
 
     @F.pandas_udf(BinaryType())
     def mk_blob(doc_id: pd.Series) -> pd.Series:
@@ -1539,9 +1530,28 @@ def q_image_features(spark, sf_dir):
                 out.append(gif_encode(idx, pal))
         return pd.Series(out)
 
-    blobs = docs.select(F.col("doc_id").cast("string").alias("url"),
-                        mk_blob("doc_id").alias("blob"))
-    feats = extract_image_features(blobs)
+    return docs.select(F.col("doc_id").cast("string").alias("url"),
+                       mk_blob("doc_id").alias("blob"))
+
+
+def q_image_features(spark, sf_dir):
+    """REAL entropy decode in the correctness gate: blobs are planted with
+    the package's own encoders (operators/imagecodec.py) in exactly-
+    lossless configurations — DC-only grayscale baseline JPEG (flat 8x8
+    block whose even-offset gray level survives quantize/dequantize
+    bit-exactly through the T.81 Huffman + IDCT path) and flat-palette
+    GIF (LZW is lossless) — then decoded back by extract_image_features'
+    mapInPandas pixel path. The DuckDB oracle derives every expected
+    feature (dims, channel means, luma, skin ratio) from doc_id
+    arithmetic alone, so any bit error anywhere in the entropy coders
+    breaks the value hash. Reference: the NSFW extractor decodes pixels
+    before scoring (/root/reference/components/extractor/nsfw/
+    extractor.go:81-118)."""
+    from ipfs_search_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    feats = extract_image_features(_planted_image_blobs(spark, sf_dir))
     return feats.select(
         "url", "format", "width", "height",
         F.round("mean_r", 6).alias("mean_r"),
@@ -1549,6 +1559,25 @@ def q_image_features(spark, sf_dir):
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_luma", 6).alias("mean_luma"),
         F.round("skin_ratio", 6).alias("skin_ratio"))
+
+
+def q_nsfw(spark, sf_dir):
+    """S9 end to end in the correctness gate: planted lossless jpeg/gif
+    blobs → REAL pixel decode → skin/luma features → the rule-based NSFW
+    scorer (reference nsfw/extractor.go:81-118; the learned CNN weights
+    are the engine's one documented stub, so the RULE arithmetic is the
+    contract being checked). The DuckDB oracle recomputes every score
+    from doc_id arithmetic with the identical float expression order."""
+    from ipfs_search_spark.operators.multimodal import classify_nsfw
+
+    scores = classify_nsfw(_planted_image_blobs(spark, sf_dir))
+    return scores.select(
+        "url", "format",
+        F.round("drawing", 6).alias("drawing"),
+        F.round("hentai", 6).alias("hentai"),
+        F.round("neutral", 6).alias("neutral"),
+        F.round("porn", 6).alias("porn"),
+        F.round("sexy", 6).alias("sexy"))
 
 
 def q_cid_decode(spark, sf_dir):
@@ -1706,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recency_filter": q_recency_filter,
         "q_multimodal_meta": q_multimodal_meta,
         "q_image_features": q_image_features,
+        "q_nsfw": q_nsfw,
         "q_cid_decode": q_cid_decode,
         "q_mime_gate": q_mime_gate,
         "q_url_validity": q_url_validity,
@@ -2161,6 +2191,40 @@ SELECT CAST(doc_id AS VARCHAR) AS url,
        ROUND(CASE WHEN doc_id % 4 = 1 THEN 1.0 ELSE 0.0 END, 6)
            AS skin_ratio
 FROM documents WHERE doc_id < 200
+""",
+        "q_nsfw": """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'gif' END AS format,
+         CASE WHEN doc_id % 2 = 0 THEN 0.0
+              WHEN doc_id % 4 = 1 THEN 1.0 ELSE 0.0 END AS skin,
+         CASE WHEN doc_id % 2 = 0
+              THEN (0.299 * (100 + 2 * (doc_id % 60))
+                  + 0.587 * (100 + 2 * (doc_id % 60))
+                  + 0.114 * (100 + 2 * (doc_id % 60))) / 255.0
+              WHEN doc_id % 4 = 1
+              THEN (0.299 * 210 + 0.587 * 120 + 0.114 * 60) / 255.0
+              ELSE (0.299 * 10 + 0.587 * 200 + 0.114 * 30) / 255.0
+         END AS nl
+  FROM documents WHERE doc_id < 200
+), r1 AS (
+  SELECT doc_id, format, skin, nl,
+         ROUND(LEAST(1.0, skin * 0.9), 6) AS porn0 FROM b
+), r2 AS (
+  SELECT doc_id, format, skin, porn0,
+         ROUND(LEAST(1.0 - porn0, skin * 0.4), 6) AS sexy0,
+         ROUND(GREATEST(0.0, 0.3 * (1.0 - skin) * nl), 6) AS drawing0
+  FROM r1
+), r3 AS (
+  SELECT doc_id, format, porn0, sexy0, drawing0,
+         ROUND(LEAST(1.0, skin * drawing0), 6) AS hentai0 FROM r2
+)
+SELECT CAST(doc_id AS VARCHAR) AS url, format,
+       drawing0 AS drawing, hentai0 AS hentai,
+       ROUND(GREATEST(0.0, 1.0 - porn0 - sexy0 - drawing0 - hentai0), 6)
+           AS neutral,
+       porn0 AS porn, sexy0 AS sexy
+FROM r3
 """,
         "q_cid_decode": """
 SELECT CAST(doc_id AS VARCHAR) AS url,
