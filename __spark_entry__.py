@@ -1580,6 +1580,45 @@ def q_nsfw(spark, sf_dir):
         F.round("sexy", 6).alias("sexy"))
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video frame sampling in the gate: planted MJPEG AVIs (RIFF
+    container around lossless flat baseline JPEGs, frame count and gray
+    levels from doc_id arithmetic) are sampled every 2nd frame by
+    sample_video_frames — container parse + entropy decode of ONLY the
+    sampled frames (operators/imagecodec.py avi_mjpeg_frames +
+    jpeg_pixels). DuckDB regenerates the expected (frame_idx, luma) fan-
+    out with unnest(generate_series(...)) from the same arithmetic."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from ipfs_search_spark.operators.imagecodec import (
+        avi_encode_mjpeg, jpeg_encode_baseline,
+    )
+    from ipfs_search_spark.operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    @F.pandas_udf(BinaryType())
+    def mk_avi(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            frames = [
+                jpeg_encode_baseline(np.full(
+                    (8, 8, 1), 100 + 2 * ((i + j) % 60), dtype=np.uint8))
+                for j in range(i % 4 + 2)
+            ]
+            out.append(avi_encode_mjpeg(frames, 8, 8))
+        return pd.Series(out)
+
+    blobs = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        mk_avi("doc_id").alias("blob"))
+    frames = sample_video_frames(blobs, every_n=2)
+    return frames.select(
+        "url", "frame_idx", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"))
+
+
 def q_cid_decode(spark, sf_dir):
     """C11 — CID decode against an INDEPENDENT digest oracle: the engine
     plants CIDv0 base58btc / CIDv1 base32 strings whose multihash digest
@@ -1736,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_image_features": q_image_features,
         "q_nsfw": q_nsfw,
+        "q_video_frames": q_video_frames,
         "q_cid_decode": q_cid_decode,
         "q_mime_gate": q_mime_gate,
         "q_url_validity": q_url_validity,
@@ -2225,6 +2265,19 @@ SELECT CAST(doc_id AS VARCHAR) AS url, format,
            AS neutral,
        porn0 AS porn, sexy0 AS sexy
 FROM r3
+""",
+        "q_video_frames": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+f AS (SELECT doc_id,
+             unnest(generate_series(0, doc_id % 4 + 1, 2)) AS j
+      FROM d)
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       ROUND(CAST(100 + 2 * ((doc_id + j) % 60) AS DOUBLE), 6)
+           AS mean_luma
+FROM f
 """,
         "q_cid_decode": """
 SELECT CAST(doc_id AS VARCHAR) AS url,

@@ -702,6 +702,74 @@ def gif_pixels(blob: bytes):
     return None
 
 
+# ------------------------------------------------------- MJPEG AVI ---
+# Motion-JPEG in a RIFF AVI container is concatenated baseline JPEGs —
+# the one video format whose frames this module can decode for real.
+
+
+def avi_mjpeg_frames(blob: bytes):
+    """Parse a RIFF AVI container and return the list of video-stream
+    chunk payloads ('##dc'/'##db' ids inside the 'movi' LIST) — for an
+    MJPEG file each payload is one standalone baseline JPEG. Returns
+    None when the blob is not a RIFF AVI or the movi list is missing/
+    torn. Container-level only: no codec assumption until a frame is
+    handed to jpeg_pixels."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int, in_movi: bool) -> bool:
+        i = start
+        while i + 8 <= end:
+            cid = blob[i:i + 4]
+            size = int.from_bytes(blob[i + 4:i + 8], "little")
+            body0, body1 = i + 8, i + 8 + size
+            if body1 > end:
+                return False  # torn chunk
+            if cid == b"LIST":
+                ltype = blob[body0:body0 + 4]
+                if not walk(body0 + 4, body1,
+                            in_movi or ltype == b"movi"):
+                    return False
+            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(blob[body0:body1])
+            i = body1 + (size & 1)  # RIFF chunks are word-aligned
+        return True
+
+    if not walk(12, len(blob), False):
+        return None
+    return frames if frames else None
+
+
+def avi_encode_mjpeg(jpeg_blobs: list[bytes], width: int, height: int,
+                     fps: int = 30) -> bytes:
+    """Minimal REAL MJPEG AVI writer (test fixture + thumbnail-reel sink
+    hook): RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    LIST('movi' 00dc…))."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    us_per_frame = max(1, 1_000_000 // fps)
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10,
+                       len(jpeg_blobs), 0, 1, 0, width, height,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(jpeg_blobs),
+                                            0, 0xFFFFFFFF, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpeg_blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _lzw_encode(indices: list[int], min_code: int) -> bytes:
     """GIF LZW compress with a real growing dictionary (encoder bumps the
     code width when the next free slot EXCEEDS 2^width — one entry after

@@ -11,11 +11,12 @@ import numpy as np
 import pytest
 
 from ipfs_search_spark.operators.imagecodec import (
-    ZIGZAG, _dct_matrix, gif_encode, gif_pixels, jpeg_encode_baseline,
-    jpeg_pixels,
+    ZIGZAG, _dct_matrix, avi_encode_mjpeg, avi_mjpeg_frames, gif_encode,
+    gif_pixels, jpeg_encode_baseline, jpeg_pixels,
 )
 from ipfs_search_spark.operators.multimodal import (
     classify_nsfw, extract_image_features, header_decode, pixel_decode,
+    sample_video_frames,
 )
 
 
@@ -234,6 +235,47 @@ def test_pixel_decode_dispatches_jpeg_and_gif():
     palette = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
     idx = np.array([[0, 1], [1, 0]], dtype=np.int64)
     assert (pixel_decode(gif_encode(idx, palette)) == palette[idx]).all()
+
+
+def _flat_jpeg(v):
+    return jpeg_encode_baseline(np.full((8, 8, 1), v, dtype=np.uint8))
+
+
+def test_avi_mjpeg_container_roundtrip():
+    frames_in = [_flat_jpeg(v) for v in (100, 102, 104, 200, 130)]
+    blob = avi_encode_mjpeg(frames_in, 8, 8, fps=10)
+    frames = avi_mjpeg_frames(blob)
+    assert frames == frames_in  # byte-identical payloads back out
+    assert avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00AVI ") is None  # empty
+    assert avi_mjpeg_frames(blob[: len(blob) // 2]) is None  # torn chunk
+    assert avi_mjpeg_frames(b"not a riff at all...") is None
+
+
+def test_avi_mjpeg_frame_sampling_spark(spark):
+    """sample_video_frames decodes only every_n-th frame and returns
+    exact luma for the losslessly-coded flat frames."""
+    vals = [100, 102, 104, 200, 130]
+    good = avi_encode_mjpeg([_flat_jpeg(v) for v in vals], 8, 8)
+    # one torn frame in the middle: NULL metrics for that sample only
+    broken_frames = [_flat_jpeg(100), _flat_jpeg(1)[:20], _flat_jpeg(104)]
+    broken = avi_encode_mjpeg(broken_frames, 8, 8)
+    df = spark.createDataFrame(
+        [("good", good), ("broken", broken), ("notavi", b"\x00junk")],
+        "url string, blob binary")
+    out = sample_video_frames(df, every_n=2).collect()
+    got = {(r["url"], r["frame_idx"]): r for r in out}
+    assert set(got) == {("good", 0), ("good", 2), ("good", 4),
+                        ("broken", 0), ("broken", 2)}
+    for idx, v in ((0, 100), (2, 104), (4, 130)):
+        r = got[("good", idx)]
+        assert r["width"] == 8 and r["mean_luma"] == pytest.approx(v)
+    assert got[("broken", 2)]["mean_luma"] == pytest.approx(104)
+    # frame 1 was torn but NOT sampled — every_n=2 skips it entirely;
+    # now sample everything and see the per-row NULL signal
+    all_rows = {(r["url"], r["frame_idx"]): r
+                for r in sample_video_frames(df, every_n=1).collect()}
+    assert all_rows[("broken", 1)]["mean_luma"] is None
+    assert all_rows[("broken", 1)]["width"] is None
 
 
 def test_spark_features_from_jpeg_and_gif(spark):
