@@ -199,7 +199,10 @@ def bench_table_ops(spark) -> dict[str, float]:
     import __spark_entry__ as e
     ops = ["q_tpch_pricing", "q_latest_wins", "q_term_stats",
            "q_lsh_neardup", "q_simhash_neardup", "q_fingerprint_lookup",
-           "q_ann_cosine", "q_dedup_exact", "q_topk_orders"]
+           "q_ann_cosine", "q_dedup_exact", "q_topk_orders",
+           # media enrichment: planted-blob encode + REAL entropy decode
+           # (jpeg/gif pixels, MJPEG frame sampling) through mapInPandas
+           "q_image_features", "q_video_frames"]
     out = {}
     qs = e.queries()
     for name in ops:
