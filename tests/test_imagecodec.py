@@ -237,6 +237,40 @@ def test_pixel_decode_dispatches_jpeg_and_gif():
     assert (pixel_decode(gif_encode(idx, palette)) == palette[idx]).all()
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32))
+    def test_gif_roundtrip_property(h, w, seed):
+        """Any index matrix over any power-of-two palette roundtrips
+        bit-exactly through LZW encode/decode."""
+        rng = np.random.default_rng(seed)
+        n = int(rng.choice([2, 4, 16, 64, 256]))
+        palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w), dtype=np.int64)
+        got = gif_pixels(gif_encode(idx, palette))
+        assert got is not None and (got == palette[idx]).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32))
+    def test_jpeg_roundtrip_property(h, w, seed):
+        """Any uint8 image at quant=1 decodes within the coefficient-
+        rounding bound for any (non-multiple-of-8) dimensions."""
+        rng = np.random.default_rng(seed)
+        ch = int(rng.choice([1, 3]))
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        blob = jpeg_encode_baseline(img,
+                                    quant=np.ones(64, dtype=np.int64))
+        got = jpeg_pixels(blob)
+        assert got is not None and got.shape == img.shape
+        assert np.abs(got.astype(np.int64)
+                      - img.astype(np.int64)).max() <= 5
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 def _flat_jpeg(v):
     return jpeg_encode_baseline(np.full((8, 8, 1), v, dtype=np.uint8))
 
