@@ -2221,9 +2221,7 @@ SELECT CAST(doc_id AS VARCHAR) AS url,
                        WHEN doc_id % 4 = 1 THEN 60
                        ELSE 30 END AS DOUBLE), 6) AS mean_b,
        ROUND(CASE WHEN doc_id % 2 = 0
-                  THEN 0.299 * (100 + 2 * (doc_id % 60))
-                     + 0.587 * (100 + 2 * (doc_id % 60))
-                     + 0.114 * (100 + 2 * (doc_id % 60))
+                  THEN CAST(100 + 2 * (doc_id % 60) AS DOUBLE)
                   WHEN doc_id % 4 = 1
                   THEN 0.299 * 210 + 0.587 * 120 + 0.114 * 60
                   ELSE 0.299 * 10 + 0.587 * 200 + 0.114 * 30
@@ -2239,9 +2237,7 @@ WITH b AS (
          CASE WHEN doc_id % 2 = 0 THEN 0.0
               WHEN doc_id % 4 = 1 THEN 1.0 ELSE 0.0 END AS skin,
          CASE WHEN doc_id % 2 = 0
-              THEN (0.299 * (100 + 2 * (doc_id % 60))
-                  + 0.587 * (100 + 2 * (doc_id % 60))
-                  + 0.114 * (100 + 2 * (doc_id % 60))) / 255.0
+              THEN CAST(100 + 2 * (doc_id % 60) AS DOUBLE) / 255.0
               WHEN doc_id % 4 = 1
               THEN (0.299 * 210 + 0.587 * 120 + 0.114 * 60) / 255.0
               ELSE (0.299 * 10 + 0.587 * 200 + 0.114 * 30) / 255.0

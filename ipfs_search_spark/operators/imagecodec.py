@@ -718,26 +718,29 @@ def avi_mjpeg_frames(blob: bytes):
         return None
     frames: list[bytes] = []
 
-    def walk(start: int, end: int, in_movi: bool) -> bool:
-        i = start
+    # Iterative walk with an explicit stack — crawl blobs are untrusted,
+    # and a recursive walk dies with RecursionError on a ~24 KB blob of
+    # ~2000 nested LIST chunks (12 bytes buys a level), turning a bad
+    # input into a task failure instead of the contractual None.
+    stack: list[tuple[int, int, bool]] = [(12, len(blob), False)]
+    while stack:
+        i, end, in_movi = stack.pop()
         while i + 8 <= end:
             cid = blob[i:i + 4]
             size = int.from_bytes(blob[i + 4:i + 8], "little")
             body0, body1 = i + 8, i + 8 + size
             if body1 > end:
-                return False  # torn chunk
+                return None  # torn chunk
             if cid == b"LIST":
                 ltype = blob[body0:body0 + 4]
-                if not walk(body0 + 4, body1,
-                            in_movi or ltype == b"movi"):
-                    return False
-            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                # resume this level after the nested list, then descend
+                stack.append((body1 + (size & 1), end, in_movi))
+                i, end = body0 + 4, body1
+                in_movi = in_movi or ltype == b"movi"
+                continue
+            if in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
                 frames.append(blob[body0:body1])
             i = body1 + (size & 1)  # RIFF chunks are word-aligned
-        return True
-
-    if not walk(12, len(blob), False):
-        return None
     return frames if frames else None
 
 
@@ -754,19 +757,35 @@ def avi_encode_mjpeg(jpeg_blobs: list[bytes], width: int, height: int,
         return chunk(b"LIST", ltype + body)
 
     us_per_frame = max(1, 1_000_000 // fps)
-    avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10,
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10,  # AVIF_HASINDEX
                        len(jpeg_blobs), 0, 1, 0, width, height,
                        0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+    # AVISTREAMHEADER: after fccType/fccHandler exactly 11 dword/word
+    # fields precede rcFrame (dwFlags, wPriority, wLanguage,
+    # dwInitialFrames, dwScale, dwRate, dwStart, dwLength,
+    # dwSuggestedBufferSize, dwQuality, dwSampleSize) — 56 bytes total.
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                             1, fps, 0, len(jpeg_blobs),
-                                            0, 0xFFFFFFFF, 0, 0)
+                                            0, 0xFFFFFFFF, 0)
             + struct.pack("<4H", 0, 0, width, height))
     strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
                        b"MJPG", width * height * 3, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) +
                lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpeg_blobs))
-    body = b"AVI " + hdrl + movi
+    # movi chunks + the idx1 the AVIF_HASINDEX flag promises: one
+    # 16-byte entry per frame, offsets relative to the 'movi' fourcc
+    # (first chunk header at +4), AVIIF_KEYFRAME on every MJPEG frame.
+    movi_chunks, offsets, off = [], [], 4
+    for j in jpeg_blobs:
+        offsets.append(off)
+        ck = chunk(b"00dc", j)
+        movi_chunks.append(ck)
+        off += len(ck)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(
+        b"00dc" + struct.pack("<III", 0x10, o, len(j))
+        for o, j in zip(offsets, jpeg_blobs)))
+    body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

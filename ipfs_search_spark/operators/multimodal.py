@@ -268,11 +268,31 @@ def _feature_schema():
     ])
 
 
+def mean_luma(pix) -> float:
+    """THE one mean-luma definition for every media surface
+    (image_features, classify_nsfw, sample_video_frames — and therefore
+    the q_image_features / q_nsfw / q_video_frames DuckDB mirrors):
+    grayscale (<3 channels) luma IS the channel-0 value — Rec.601 on
+    replicated gray is mathematically the identity, and the direct read
+    keeps flat-gray fixtures float-exact — while 3+ channels use the
+    Rec.601 weighted sum in fixed r,g,b order so SQL mirrors can
+    reproduce the float chain bit for bit."""
+    import numpy as np
+    a = pix.astype(np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] < 3:  # grey / grey+alpha
+        return float(a[:, :, 0].mean())
+    luma = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+            + 0.114 * a[:, :, 2])
+    return float(luma.mean())
+
+
 def image_features(pix) -> dict:
     """Pixel features from a decoded (H, W, C) array: mean RGB, mean luma
-    (Rec.601), and the classic rule-based skin-pixel ratio (Peer et al.'s
-    RGB thresholds) — a REAL, deterministic stand-in for a learned NSFW
-    feature extractor."""
+    (Rec.601, shared mean_luma definition), and the classic rule-based
+    skin-pixel ratio (Peer et al.'s RGB thresholds) — a REAL,
+    deterministic stand-in for a learned NSFW feature extractor."""
     import numpy as np
     a = pix.astype(np.float64)
     if a.ndim == 2:
@@ -282,14 +302,13 @@ def image_features(pix) -> dict:
         r = g = b = a[:, :, 0]
     else:
         r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
-    luma = 0.299 * r + 0.587 * g + 0.114 * b
     skin = ((r > 95) & (g > 40) & (b > 20) & (r > g) & (r > b) &
             ((np.maximum(np.maximum(r, g), b) -
               np.minimum(np.minimum(r, g), b)) > 15) &
             (np.abs(r - g) > 15))
     n = float(r.size)
     return {"mean_r": float(r.mean()), "mean_g": float(g.mean()),
-            "mean_b": float(b.mean()), "mean_luma": float(luma.mean()),
+            "mean_b": float(b.mean()), "mean_luma": mean_luma(pix),
             "skin_ratio": float(skin.sum() / n)}
 
 
@@ -525,7 +544,6 @@ def sample_video_frames(df: DataFrame, blob_col: str = "blob",
     ])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
         for pdf in batches:
             rows: dict = {k: [] for k in ("url", "frame_idx", "width",
                                           "height", "mean_luma")}
@@ -545,13 +563,7 @@ def sample_video_frames(df: DataFrame, blob_col: str = "blob",
                         continue
                     rows["width"].append(pix.shape[1])
                     rows["height"].append(pix.shape[0])
-                    a = pix.astype(np.float64)
-                    if a.shape[2] >= 3:
-                        luma = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
-                                + 0.114 * a[:, :, 2])
-                    else:
-                        luma = a[:, :, 0]
-                    rows["mean_luma"].append(round(float(luma.mean()), 6))
+                    rows["mean_luma"].append(round(mean_luma(pix), 6))
             yield pd.DataFrame({
                 "url": rows["url"],
                 "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),

@@ -268,7 +268,15 @@ try:
         assert np.abs(got.astype(np.int64)
                       - img.astype(np.int64)).max() <= 5
 except ImportError:  # pragma: no cover - hypothesis is baked in here
-    pass
+    # visible skips, not silently-absent tests (a codec regression must
+    # not pass CI invisibly on an environment without hypothesis)
+    @pytest.mark.skip(reason="hypothesis not installed")
+    def test_gif_roundtrip_property():
+        pass
+
+    @pytest.mark.skip(reason="hypothesis not installed")
+    def test_jpeg_roundtrip_property():
+        pass
 
 
 def _flat_jpeg(v):
@@ -283,6 +291,62 @@ def test_avi_mjpeg_container_roundtrip():
     assert avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00AVI ") is None  # empty
     assert avi_mjpeg_frames(blob[: len(blob) // 2]) is None  # torn chunk
     assert avi_mjpeg_frames(b"not a riff at all...") is None
+
+
+def test_avi_writer_external_shape():
+    """Spec conformance an external reader would trip on: strh is the
+    56-byte AVISTREAMHEADER (rcFrame at offset 48), and the
+    AVIF_HASINDEX flag in avih is backed by a real idx1 chunk with one
+    16-byte keyframe entry per frame whose offsets (relative to the
+    'movi' fourcc) and sizes resolve to the actual chunk payloads."""
+    import struct
+
+    frames_in = [_flat_jpeg(v) for v in (100, 102, 104)]
+    blob = avi_encode_mjpeg(frames_in, 8, 8, fps=10)
+
+    si = blob.index(b"strh")
+    strh_size = int.from_bytes(blob[si + 4:si + 8], "little")
+    assert strh_size == 56
+    rc = struct.unpack_from("<4H", blob, si + 8 + 48)
+    assert rc == (0, 0, 8, 8)  # rcFrame = (0, 0, w, h)
+
+    ii = blob.index(b"idx1")
+    n = int.from_bytes(blob[ii + 4:ii + 8], "little") // 16
+    assert n == len(frames_in)
+    movi_fourcc = blob.index(b"movi")
+    for k in range(n):
+        cid, flags, off, size = struct.unpack_from("<4sIII",
+                                                   blob, ii + 8 + 16 * k)
+        assert cid == b"00dc" and flags == 0x10  # AVIIF_KEYFRAME
+        hdr = movi_fourcc + off
+        assert blob[hdr:hdr + 4] == b"00dc"
+        assert blob[hdr + 8:hdr + 8 + size] == frames_in[k]
+
+
+def test_avi_deep_nesting_no_recursion_error():
+    """Untrusted-blob hardening: ~2000 nested LIST chunks must come back
+    as a graceful None (or parsed frames), never a RecursionError that
+    would kill the whole Spark task (mapInPandas contract: per-row
+    NULLs / zero rows for bad blobs)."""
+    import struct
+
+    depth = 2000
+    inner = b"LIST" + struct.pack("<I", 4) + b"xxxx"
+    for _ in range(depth):
+        body = b"list" + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    blob = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert avi_mjpeg_frames(blob) is None  # no dc/db chunks anywhere
+
+    # and a frame AFTER the deep nest is still found
+    jpeg = _flat_jpeg(100)
+    movi = b"LIST" + struct.pack(
+        "<I", 4 + 8 + len(jpeg) + (len(jpeg) & 1)) + b"movi" + \
+        b"00dc" + struct.pack("<I", len(jpeg)) + jpeg + \
+        (b"\x00" if len(jpeg) & 1 else b"")
+    body2 = inner + movi
+    blob2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"AVI " + body2
+    assert avi_mjpeg_frames(blob2) == [jpeg]
 
 
 def test_avi_mjpeg_frame_sampling_spark(spark):
