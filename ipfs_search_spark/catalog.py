@@ -59,12 +59,18 @@ class TableIO:
     shadow an alias), and alias chains are rejected at set time (as in
     OpenSearch, aliases point only at concrete tables)."""
 
+    # Iceberg alias-map staleness bound (seconds): the parquet fallback
+    # re-validates on directory mtime per call; Iceberg has no cheap
+    # probe, so cross-process alias flips become visible within this TTL
+    ALIAS_TTL_S = 5.0
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.iceberg = "/" not in root and _iceberg_available(spark)
         self._aliases_cache: dict[str, str] | None = None
         self._aliases_mtime: int | None = None
+        self._aliases_read_t: float = 0.0
 
     def _path(self, name: str) -> str:
         return f"{self.root}.{name}" if self.iceberg else os.path.join(self.root, name)
@@ -85,12 +91,21 @@ class TableIO:
         the directory mtime (the atomic swap always changes it), so
         resolution costs one os.stat per read — never a Spark job."""
         if self.iceberg:
-            if self._aliases_cache is None:
+            # No cheap mtime probe on Iceberg, so the cache is bounded
+            # by a short TTL instead: a flip committed by ANOTHER
+            # process/session (the zero-downtime reindex scenario) is
+            # visible within ALIAS_TTL_S, while steady-state resolution
+            # stays job-free. Own writes invalidate immediately.
+            import time
+            now = time.monotonic()
+            if (self._aliases_cache is None
+                    or now - self._aliases_read_t > self.ALIAS_TTL_S):
                 self._aliases_cache = (
                     {r["alias"]: r["target"] for r in
                      self.spark.read.table(
                          self._path(ALIASES_TABLE)).collect()}
                     if self._exists_concrete(ALIASES_TABLE) else {})
+                self._aliases_read_t = now
             return self._aliases_cache
         p = self._path(ALIASES_TABLE)
         try:

@@ -256,9 +256,12 @@ def jpeg_pixels(blob: bytes):
         return None
     h, w, comps = frame
     segs, sos = scan
-    ns = sos[0]
-    if ns != len(comps):
-        return None  # only the standard single interleaved scan
+    ns = sos[0] if sos else -1
+    if ns != len(comps) or len(sos) < 1 + 2 * ns:
+        # only the standard single interleaved scan, and the SOS header
+        # must actually hold its declared component entries (a truncated
+        # header on an untrusted blob is a None, never an IndexError)
+        return None
     # map scan component order / table ids onto frame components
     by_id = {c["id"]: c for c in comps}
     order = []
@@ -276,6 +279,17 @@ def jpeg_pixels(blob: bytes):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     n_mcu = mcux * mcuy
+    # Allocation guard (untrusted-blob DoS, same policy as the AVI
+    # walker): every coded block consumes >= 2 bits of entropy data, so
+    # a header declaring more blocks than the scan payload could hold is
+    # malformed — reject BEFORE sizing the coefficient store off
+    # attacker-controlled dimensions (a ~30-byte blob can declare
+    # 65535x65535). The absolute cap (1M blocks ~ 42MP 4:2:0, 512 MB of
+    # int64 coefficients) bounds even entropy-padded crafted blobs.
+    total_blocks = n_mcu * sum(c["h"] * c["v"] for c in comps)
+    ent_bytes = sum(len(s) for s in segs)
+    if total_blocks > min(4 * ent_bytes + 64, 1_000_000):
+        return None
     # per-component coefficient store: (blocks_y, blocks_x, 64) natural
     # order; IDCT is deferred and batched over every block at once
     coef = {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
@@ -693,7 +707,10 @@ def gif_pixels(blob: bytes):
             if (left, top, fw, fh) == (0, 0, w, h):
                 return frame.astype(np.uint8)
             canvas = np.empty((h, w, 3), dtype=np.uint8)
-            canvas[:] = ct[bg] if bg < ct.shape[0] else 0
+            # the background color index refers to the GLOBAL color
+            # table (GIF89a 18.c) — never the frame's local table
+            canvas[:] = (gct[bg] if gct is not None
+                         and bg < gct.shape[0] else 0)
             y1, x1 = min(top + fh, h), min(left + fw, w)
             canvas[top:y1, left:x1] = frame[:y1 - top, :x1 - left]
             return canvas

@@ -547,8 +547,7 @@ _STAGING_POSTINGS = "_compacting_postings"
 _STAGING_TERM_STATS = "_compacting_term_stats"
 
 
-def compact_segments(spark: SparkSession, io: TableIO,
-                     block_size: int = BLOCK_SIZE) -> dict:
+def compact_segments(io: TableIO) -> dict:
     """Fold streaming posting segments back into the base tables — the
     Lucene merge-down the reference gets from its OpenSearch backend's
     segment merges. posting_segments grows one segment per micro-batch
@@ -608,8 +607,10 @@ def compact_segments(spark: SparkSession, io: TableIO,
             "silently undercount; rebuild instead")
 
     # phase 1 — stage merged postings: only segment-touched (term, shard)
-    # cells re-encode
+    # cells re-encode, at the BASE index's block size (a divergent merge
+    # block size would silently mix layouts while index_stats claims one)
     n_buckets = int(st["n_buckets"])
+    block_size = int(st["block_size"])
     segp = seg.drop("segment_id")
     has_base = io.exists("postings")
     if has_base:

@@ -231,15 +231,18 @@ def _bmp_pixels(blob: bytes):
     return arr[:, :, 2::-1]  # BGR(A) → RGB
 
 
-def pixel_decode(blob: bytes):
+def pixel_decode(blob: bytes, fmt: str | None = None):
     """Decode a blob to an (H, W, C) uint8 pixel array, pure python/numpy,
     no codec library: PNG (zlib is stdlib), uncompressed BMP, baseline
     JPEG (T.81 Huffman + batched IDCT) and GIF (LZW) via
     operators/imagecodec.py. Returns None for unknown formats and for
     in-format variants outside the decoders' documented subsets
     (progressive JPEG, 16-bit/interlaced/palette PNG, RLE BMP) — a
-    per-row decoder-unavailable signal, never a raise."""
-    fmt, _, _ = header_decode(blob)
+    per-row decoder-unavailable signal, never a raise. Callers that
+    already ran header_decode pass its format tag via `fmt` to skip the
+    second sniff (the mapInPandas hot paths all do)."""
+    if fmt is None:
+        fmt, _, _ = header_decode(blob)
     if fmt == "png":
         return _png_pixels(blob)
     if fmt == "bmp":
@@ -333,7 +336,7 @@ def extract_image_features(df: DataFrame, blob_col: str = "blob",
             for b in pdf[blob_col]:
                 blob = bytes(b) if b is not None else b""
                 fmt, _, _ = header_decode(blob)
-                pix = pixel_decode(blob)
+                pix = pixel_decode(blob, fmt)
                 rows["format"].append(fmt)
                 if pix is None:
                     for k in ("mean_r", "mean_g", "mean_b", "mean_luma",
@@ -381,8 +384,8 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob",
                 metas = []
                 for b in pdf[blob_col]:
                     blob = bytes(b) if b is not None else b""
-                    pix = pixel_decode(blob)
                     fmt, _, _ = header_decode(blob)
+                    pix = pixel_decode(blob, fmt)
                     if pix is None:
                         metas.append((fmt, None, None))
                     else:
@@ -489,7 +492,7 @@ def classify_nsfw(df: DataFrame, blob_col: str = "blob",
                 blob = bytes(b) if b is not None else b""
                 fmt, _, _ = header_decode(blob)
                 rows["format"].append(fmt)
-                pix = pixel_decode(blob)
+                pix = pixel_decode(blob, fmt)
                 if pix is None:
                     for k in ("drawing", "hentai", "neutral", "porn",
                               "sexy"):

@@ -399,3 +399,55 @@ def test_spark_features_from_jpeg_and_gif(spark):
     assert scores["jpeg"]["porn"] == pytest.approx(0.9)
     assert scores["gif"]["porn"] == pytest.approx(0.9)
     assert scores["bad_jpeg"]["porn"] is None
+
+
+def test_jpeg_truncated_sos_returns_none():
+    """r5 review: an SOS segment whose header payload is empty (seg_len=2)
+    must yield None, not an IndexError that kills the Spark task — the
+    untrusted-blob contract of every mapInPandas surface feeding here."""
+    img = _flat_blocks_image([(100, 100, 100)])
+    blob = jpeg_encode_baseline(img)
+    i = blob.find(b"\xff\xda")
+    assert i > 0
+    seg_len = int.from_bytes(blob[i + 2:i + 4], "big")
+    crafted = blob[:i + 2] + b"\x00\x02" + blob[i + 2 + seg_len:]
+    assert jpeg_pixels(crafted) is None
+    # SOS header shorter than its declared component list
+    crafted2 = (blob[:i + 2] + b"\x00\x03\x03"
+                + blob[i + 2 + seg_len:])
+    assert jpeg_pixels(crafted2) is None
+
+
+def test_jpeg_giant_declared_dims_rejected_before_alloc():
+    """r5 review: a ~40-byte blob declaring 65535x65535 must be rejected
+    BEFORE the coefficient store is sized off the attacker-controlled
+    header (was a ~34 GB np.zeros)."""
+    import struct as _st
+    sof = b"\x08" + _st.pack(">HH", 65535, 65535) + b"\x01" + \
+        b"\x01\x11\x00"
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    blob = (b"\xff\xd8"
+            + b"\xff\xc0" + _st.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xda" + _st.pack(">H", 2 + len(sos)) + sos
+            + b"\x00" * 16 + b"\xff\xd9")
+    assert jpeg_pixels(blob) is None
+
+
+def test_gif_background_fill_uses_global_color_table():
+    """r5 review: the background color index refers to the GLOBAL color
+    table even when the frame carries a local one (GIF89a 18.c)."""
+    import struct as _st
+    from ipfs_search_spark.operators.imagecodec import _lzw_encode
+    gct = bytes((255, 0, 0, 0, 255, 0))       # red, green — bg=1: green
+    lct = bytes((0, 0, 255, 255, 255, 255))   # blue, white
+    data = _lzw_encode([0, 0, 0, 0], 2)       # 2x2 frame of local[0]=blue
+    blob = bytearray(b"GIF89a")
+    blob += _st.pack("<HH", 4, 4) + bytes((0x80, 1, 0)) + gct
+    blob += b"\x2c" + _st.pack("<HHHH", 0, 0, 2, 2) + bytes((0x80,))
+    blob += lct + bytes((2,))
+    blob += bytes((len(data),)) + data + b"\x00\x3b"
+    got = gif_pixels(bytes(blob))
+    assert got is not None and got.shape == (4, 4, 3)
+    assert (got[0, 0] == (0, 0, 255)).all()       # frame pixel: blue
+    assert (got[3, 3] == (0, 255, 0)).all()       # background: GLOBAL[1]
+    assert not (got == (255, 255, 255)).all(axis=2).any()  # never white

@@ -141,7 +141,7 @@ def test_compact_segments_matches_rebuild(spark):
     handle(b2, batch_id=2)
     before = _results(Searcher(spark, io))
 
-    out = compact_segments(spark, io)
+    out = compact_segments(io)
     assert out["segments_folded"] == 2
     for t in ("posting_segments", "segment_term_stats",
               "segment_doc_stats", "_compaction_manifest",
@@ -164,7 +164,7 @@ def test_compact_segments_matches_rebuild(spark):
         sx.term_stats._jdf.queryExecution(), "formatted")
     assert "/postings" not in plan and "segment" not in plan
     # idempotent no-op on an already-compacted index
-    assert compact_segments(spark, io)["segments_folded"] == 0
+    assert compact_segments(io)["segments_folded"] == 0
 
 
 def test_compact_segments_resumes_after_crash(spark, monkeypatch):
@@ -187,14 +187,14 @@ def test_compact_segments_resumes_after_crash(spark, monkeypatch):
                         lambda _io: (_ for _ in ()).throw(
                             RuntimeError("crash at commit point")))
     with pytest.raises(RuntimeError, match="commit point"):
-        ib.compact_segments(spark, io)
+        ib.compact_segments(io)
     # manifest committed, live tables untouched (still segmented + correct)
     assert io.exists(ib.COMPACTION_MANIFEST)
     assert io.exists("posting_segments")
     assert _results(Searcher(spark, io)) == before
 
     monkeypatch.setattr(ib, "_install_compaction", real_install)
-    out = ib.compact_segments(spark, io)  # resumes from the manifest
+    out = ib.compact_segments(io)  # resumes from the manifest
     assert out["segments_folded"] == 1
     assert not io.exists(ib.COMPACTION_MANIFEST)
     assert _results(Searcher(spark, io)) == before
@@ -215,7 +215,7 @@ def test_compact_segments_positional(spark):
     handle(rest, batch_id=1)
     phrase_qs = [(0, '"data spark"'), (1, 'value "table key"~2')]
     before = _results(Searcher(spark, io), queries=phrase_qs)
-    compact_segments(spark, io)
+    compact_segments(io)
     sx = Searcher(spark, io)
     assert sx.positional
     assert _results(sx, queries=phrase_qs) == before
@@ -238,7 +238,7 @@ def test_compact_segments_refuses_uncovered_segment(spark):
     import shutil
     shutil.rmtree(io._path("segment_doc_stats"))
     with pytest.raises(ValueError, match="per-segment stats"):
-        compact_segments(spark, io)
+        compact_segments(io)
 
 
 def test_resighted_urls_not_reindexed(spark):
