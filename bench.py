@@ -417,6 +417,13 @@ BUILD_LINEAGE = {
         "driver-side renames per build). Every tokenize/encode/shuffle "
         "hot loop is byte-identical, so 3a1bf5 floors remain directly "
         "comparable.",
+    "build-7ca8caf92d":
+        " Lineage: build-7ca8caf92d differs from build-bd4b4e1cc6 only "
+        "by a TTL bound on the Iceberg-branch alias cache in "
+        "TableIO.aliases (r5 review) — dead code on the parquet "
+        "fallback the scaling build runs; every timed hot loop is "
+        "byte-identical, so bd4b4e and 3a1bf5 floors remain directly "
+        "comparable.",
 }
 
 
