@@ -736,7 +736,8 @@ def _dedup_rebench_lines() -> list[str]:
 def write_bench_md(payload: dict) -> None:
     lines = [
         "# BENCH — measured numbers (local sandbox)\n",
-        f"Input: synthetic corpus n={N_PAGES} pages (distributed, seeded) "
+        f"Input: synthetic corpus n={payload.get('n_pages', N_PAGES)} "
+        "pages (distributed, seeded) "
         f"+ tables at `{SF_DIR}`; local[{CPUS}].\n",
         "| metric | value |",
         "|---|---|",
@@ -931,6 +932,31 @@ def write_bench_md(payload: dict) -> None:
         f.write("\n".join(lines))
 
 
+PAYLOAD_FILE = os.path.join(REPO, "BENCH_payload.json")
+
+
+def _render_only() -> None:
+    """`python bench.py --render-only`: re-render BENCH.md from the last
+    FULL run's persisted payload plus the CURRENT sweep history. Harvester
+    sessions append to SCALING_SWEEP.json between bench runs; the rendered
+    floor/session tables must follow without a 25-minute re-measure (the
+    r5 failure mode: four harvested sessions sat uncommitted because the
+    only way to refresh BENCH.md's tables was a full re-bench). The
+    in-session headline numbers stay those of the persisted run —
+    render-only never invents a measurement."""
+    with open(PAYLOAD_FILE) as f:
+        payload = json.load(f)
+    if "scaling" not in payload:
+        raise SystemExit("refusing to render a quick-mode payload "
+                         "(no scaling block) into BENCH.md")
+    sweep = sweep_summary()
+    if sweep:
+        payload["scaling_sweep"] = sweep
+    write_bench_md(payload)
+    print(json.dumps({"rendered_from": PAYLOAD_FILE,
+                      "sweep_sessions": sum(r["sessions"] for r in sweep)}))
+
+
 def _scale_worker(cpus: int, pages_dir: str) -> None:
     """Subprocess entry: one warmed build at one parallelism level in a
     fresh JVM; prints one JSON line.
@@ -960,6 +986,9 @@ def main() -> None:
     if worker:
         _scale_worker(int(worker),
                       os.environ["SPARK_GRAFT_SCALE_PAGES_DIR"])
+        return
+    if "--render-only" in sys.argv:
+        _render_only()
         return
 
     t_suite = time.monotonic()
@@ -1007,6 +1036,11 @@ def main() -> None:
     sweep = sweep_summary()
     if sweep:
         payload["scaling_sweep"] = sweep
+    if scaling:
+        # persist full-run payloads only: a quick-mode payload rendered
+        # later by --render-only would put quick numbers in BENCH.md
+        with open(PAYLOAD_FILE, "w") as f:
+            json.dump(payload, f, indent=1)
     shutil.rmtree(os.environ.get("SPARK_GRAFT_PAGES_DIR", ""),
                   ignore_errors=True)
     write_bench_md(payload)
