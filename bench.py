@@ -123,6 +123,23 @@ def build_once(spark, n_pages: int, workdir: str) -> tuple[float, int]:
     return secs, stats["n_docs"]
 
 
+QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2"))
+
+
+def _timed(fn, runs: int = 0) -> float:
+    """Min wall time of `runs` warm executions. The host's capacity swings
+    >2x on ~10-min scales (CLAUDE.md: never trust a single timing window);
+    min-of-2 makes per-query numbers reflect the engine, not whichever
+    hypervisor co-tenant woke during one run. Warmup is paid by the caller."""
+    best = None
+    for _ in range(runs or QUERY_RUNS):
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def bench_queries(spark, io) -> dict[str, float]:
     from ipfs_search_spark.plans.query import Searcher
     sx = Searcher(spark, io)
@@ -130,37 +147,27 @@ def bench_queries(spark, io) -> dict[str, float]:
     # warm the JVM + file cache once
     sx.search(QUERY_MIX[:1], k=10).collect()
     for qid, qs in QUERY_MIX:
-        t0 = time.monotonic()
-        sx.search([(qid, qs)], k=10).collect()
-        lat[f"bm25_q{qid}"] = round(time.monotonic() - t0, 4)
+        lat[f"bm25_q{qid}"] = _timed(
+            lambda qid=qid, qs=qs: sx.search([(qid, qs)], k=10).collect())
     # the batch form: the whole query set as ONE job (queries are rows)
-    t0 = time.monotonic()
-    sx.search(QUERY_MIX, k=10).collect()
-    lat["bm25_batch6"] = round(time.monotonic() - t0, 4)
-    # boolean surface (nested tree + ^boost + prohibited clause)
-    t0 = time.monotonic()
-    sx.search([(0, "(data^1.5 OR batch) AND merge -stream")],
-              k=10).collect()
-    lat["bm25_boolean"] = round(time.monotonic() - t0, 4)
-    # prefix surface (vocabulary range-scan expansion → one OR-group)
-    t0 = time.monotonic()
-    sx.search([(0, "dat* merge")], k=10).collect()
-    lat["bm25_prefix"] = round(time.monotonic() - t0, 4)
-    # filter-leaf tree surface (in-shard leaf bitmask evaluation)
-    t0 = time.monotonic()
-    sx.search([(0, "lang:de OR merge")], k=10).collect()
-    lat["bm25_filter_tree"] = round(time.monotonic() - t0, 4)
-    # conjunct-filtered query (allowed-set cogroup, per-shard cut ON)
-    t0 = time.monotonic()
-    sx.search([(0, "data spark lang:de")], k=10).collect()
-    lat["bm25_filtered"] = round(time.monotonic() - t0, 4)
-    # fuzzy + general wildcard expansion surfaces
-    t0 = time.monotonic()
-    sx.search([(0, "merge~1 spark")], k=10).collect()
-    lat["bm25_fuzzy"] = round(time.monotonic() - t0, 4)
-    t0 = time.monotonic()
-    sx.search([(0, "d?ta merge")], k=10).collect()
-    lat["bm25_wildcard"] = round(time.monotonic() - t0, 4)
+    lat["bm25_batch6"] = _timed(
+        lambda: sx.search(QUERY_MIX, k=10).collect())
+    surfaces = {
+        # boolean surface (nested tree + ^boost + prohibited clause)
+        "bm25_boolean": "(data^1.5 OR batch) AND merge -stream",
+        # prefix surface (vocabulary range-scan expansion → one OR-group)
+        "bm25_prefix": "dat* merge",
+        # filter-leaf tree surface (in-shard leaf bitmask evaluation)
+        "bm25_filter_tree": "lang:de OR merge",
+        # conjunct-filtered query (allowed-set cogroup, per-shard cut ON)
+        "bm25_filtered": "data spark lang:de",
+        # fuzzy + general wildcard expansion surfaces
+        "bm25_fuzzy": "merge~1 spark",
+        "bm25_wildcard": "d?ta merge",
+    }
+    for name, qs in surfaces.items():
+        lat[name] = _timed(
+            lambda qs=qs: sx.search([(0, qs)], k=10).collect())
     return lat
 
 
@@ -182,16 +189,14 @@ def bench_positional(spark, workdir: str) -> dict[str, float]:
     pages = spark.read.parquet(os.environ["SPARK_GRAFT_PAGES_DIR"])
     posdir = os.path.join(workdir, "pos_index")
     io = TableIO(spark, posdir)
-    t0 = time.monotonic()
-    build_index(spark, pages, io, n_shards=max(4, CPUS // 4), n_buckets=64,
-                positions=True)
-    out = {"index_build_positional": round(time.monotonic() - t0, 3)}
+    out = {"index_build_positional": _timed(
+        lambda: build_index(spark, pages, io, n_shards=max(4, CPUS // 4),
+                            n_buckets=64, positions=True))}
     sx = Searcher(spark, io)
     sx.search(PHRASE_MIX[:1], k=10).collect()  # warm
     for qid, qs in PHRASE_MIX:
-        t0 = time.monotonic()
-        sx.search([(qid, qs)], k=10).collect()
-        out[f"phrase_q{qid}"] = round(time.monotonic() - t0, 4)
+        out[f"phrase_q{qid}"] = _timed(
+            lambda qid=qid, qs=qs: sx.search([(qid, qs)], k=10).collect())
     return out
 
 
@@ -206,10 +211,10 @@ def bench_table_ops(spark) -> dict[str, float]:
     out = {}
     qs = e.queries()
     for name in ops:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        df.collect() if name != "q_topk_orders" else df.count()
-        out[name] = round(time.monotonic() - t0, 4)
+        def run(name=name):
+            df = qs[name](spark, SF_DIR)
+            df.collect() if name != "q_topk_orders" else df.count()
+        out[name] = _timed(run)
     return out
 
 
@@ -1004,6 +1009,8 @@ def main() -> None:
         from ipfs_search_spark.catalog import TableIO
         warm_jvm(spark)
         secs, n_docs = build_once(spark, N_PAGES, workdir)
+        for _ in range(QUERY_RUNS - 1):  # min-of-N, same window doctrine
+            secs = min(secs, build_once(spark, N_PAGES, workdir)[0])
         queries["index_build"] = round(secs, 3)
         docs_per_sec = round(n_docs / secs, 1)
         io = TableIO(spark, workdir)
