@@ -293,6 +293,58 @@ def q_snapshot_search(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+def q_compacted_search(spark, sf_dir):
+    """A5/A6/T5 segment lifecycle end to end (reference: Lucene segment
+    merges behind OpenSearch, the engine the reference delegates storage
+    to): base index over two-thirds of `documents`, the remaining third
+    appended as TWO streaming micro-batch segments
+    (incremental_index_microbatch), then compact_segments folds the
+    segments into the base tables and drops them. The flagship BM25 query
+    through the COMPACTED index must hash-match the same single-build
+    oracle as q_bm25_engine — proving append + compaction preserve every
+    posting, per-term df/cf, and the exact integer dl sums. Engine doc_ids
+    in this pipeline are xxhash64(url) (the streaming path's identity), so
+    results map back to the table's doc_id through the url column."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import (
+        build_index, compact_segments,
+    )
+    from ipfs_search_spark.plans.query import search
+    from ipfs_search_spark.streaming.ingest_stream import (
+        incremental_index_microbatch,
+    )
+    key = "compacted:" + os.path.abspath(sf_dir)
+    if key in _ENGINE_CACHE:
+        io = _ENGINE_CACHE[key]
+    else:
+        pages = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+            F.encode(F.col("text"), "utf-8").alias("html"),
+            F.col("text"), F.col("lang"),
+            F.col("doc_id").alias("_orig"),
+        )
+        io = TableIO(spark, tempfile.mkdtemp(prefix="isx-entry-compact-"))
+        build_index(spark, pages.filter(F.col("_orig") % 3 != 0)
+                    .drop("_orig"), io,
+                    n_shards=4, n_buckets=16, extract=False)
+        handle = incremental_index_microbatch(io, n_shards=4, n_buckets=16)
+        handle(pages.filter(F.col("_orig") % 6 == 0).drop("_orig"), 1)
+        handle(pages.filter(F.col("_orig") % 6 == 3).drop("_orig"), 2)
+        compact_segments(io)
+        _ENGINE_CACHE[key] = io
+    raw = search(spark, io, [(0, " ".join(FLAGSHIP_TERMS))],
+                 k=FLAGSHIP_K + 50, prune=True)
+    # search() already carries url, and url IS the original doc_id string
+    # (engine doc_ids here are the streaming path's xxhash64(url))
+    mapped = raw.select(F.col("url").cast("long").alias("doc_id"),
+                        F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (mapped.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 _POS_ENGINE_CACHE: dict[str, object] = {}
 
 PHRASE_TERMS = ["data", "spark"]  # adjacency-tested pair (has hits at sf0.01)
@@ -323,20 +375,31 @@ def _pos_engine_io(spark: SparkSession, sf_dir: str):
 
 def _phrase_oracle_sql(free_terms: list[str], phrase: list[str],
                        k: int, slop: int = 0) -> str:
-    """BM25 over free_terms ∪ phrase terms, restricted to docs where the
-    phrase terms appear in analyzed order within a window of len+slop
-    tokens (slop=0: exact adjacency). Zipped-unnest ordinality self-join —
-    the SQL mirror of the positional posting probe: the join enumerates
-    every in-order position choice inside the window, so EXISTS semantics
-    come from DISTINCT (for slop=0 the window constraint degenerates to
-    p_i.ord = p0.ord + i, the old adjacency equality)."""
+    """BM25 over free_terms ∪ phrase terms, restricted to docs matching
+    the phrase at the given slop. slop=0: exact in-order adjacency chain.
+    slop>0: Lucene sloppy-phrase — one position per phrase leaf, distinct
+    positions, with PAIRWISE adjusted-position range
+    |(p_i - i) - (p_j - j)| <= slop (equivalent to max-min <= slop), which
+    admits reordering once slop covers the displacement. Zipped-unnest
+    ordinality self-join — the SQL mirror of the positional posting probe:
+    the join enumerates every position choice, so EXISTS semantics come
+    from DISTINCT."""
     terms = sorted(set(free_terms) | set(phrase))
     tl = ", ".join(f"'{t}'" for t in terms)
-    adj = " AND ".join(
-        f"p{i}.term = '{t}' AND p{i}.ord > p{i - 1}.ord "
-        f"AND p{i}.ord <= p0.ord + {i + slop}" if i else
-        f"p0.term = '{t}'"
-        for i, t in enumerate(phrase))
+    if slop == 0:
+        adj = " AND ".join(
+            f"p{i}.term = '{t}' AND p{i}.ord > p{i - 1}.ord "
+            f"AND p{i}.ord <= p0.ord + {i + slop}" if i else
+            f"p0.term = '{t}'"
+            for i, t in enumerate(phrase))
+    else:
+        preds = [f"p{i}.term = '{t}'" for i, t in enumerate(phrase)]
+        for i in range(len(phrase)):
+            for j in range(i + 1, len(phrase)):
+                preds.append(f"p{i}.ord <> p{j}.ord")
+                preds.append(f"abs((p{i}.ord - {i}) - (p{j}.ord - {j})) "
+                             f"<= {slop}")
+        adj = " AND ".join(preds)
     joins = " ".join(
         f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
         for i in range(1, len(phrase)))
@@ -629,9 +692,10 @@ PHRASE_SLOP = 2
 
 
 def q_phrase_slop(spark, sf_dir):
-    """Proximity phrase `"a b"~N` (Lucene query_string slop, order
-    preserved — plans/parser.py grammar): the phrase terms must appear in
-    order within a window of len+N tokens; phrase terms also score."""
+    """Proximity phrase `"a b"~N` (Lucene query_string slop — plans/
+    parser.py grammar): one position per phrase term with adjusted-range
+    max(pos_i - i) - min(pos_i - i) <= N (reordering admitted once N
+    covers the displacement); phrase terms also score."""
     from ipfs_search_spark.plans.query import search
     io = _pos_engine_io(spark, sf_dir)
     qs = (f'{PHRASE_FREE_TERM} '
@@ -1741,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_stats": q_doc_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_snapshot_search": q_snapshot_search,
+        "q_compacted_search": q_compacted_search,
         "q_bm25_engine": q_bm25_engine,
         "q_bm25_and": q_bm25_and,
         "q_prefix_search": q_prefix_search,
@@ -1879,6 +1944,7 @@ FROM dl
         "q_bm25_topk": bm25,
         "q_bm25_engine": bm25,
         "q_snapshot_search": bm25,
+        "q_compacted_search": bm25,
         "q_bm25_and": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                        conj=True),
         "q_prefix_search": _prefix_oracle_sql(

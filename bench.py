@@ -175,6 +175,9 @@ PHRASE_MIX = [
     (0, '"data spark"'),
     (1, 'merge "data spark"'),
     (2, 'data -"data spark"'),
+    # Lucene sloppy form (r5: reorder-admitting minimal-range window) —
+    # prices the slop>0 matcher against the slop=0 greedy chain above
+    (3, '"data spark"~2'),
 ]
 
 

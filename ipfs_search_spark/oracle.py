@@ -63,23 +63,28 @@ class BM25Oracle:
         return s
 
     def phrase_match(self, key, phrase: list[str], slop: int = 0) -> bool:
-        """True iff the analyzed phrase terms appear IN ORDER within a
-        window of len(phrase)+slop tokens (slop=0: exact adjacency).
-        Deliberately brute-force (full DFS over position choices) so it
-        shares no code shape with the engine's greedy vectorized chain."""
+        """True iff one occurrence per phrase leaf can be chosen (distinct
+        token positions — a repeated phrase term must use two occurrences)
+        with max_i(pos_i - i) - min_i(pos_i - i) <= slop: Lucene
+        sloppy-phrase acceptance; slop=0 degenerates to exact in-order
+        adjacency. Deliberately brute-force (full product over position
+        choices) so it shares no code shape with the engine's vectorized
+        window scan."""
         toks = self.tokens.get(key)
         if not toks or len(phrase) == 0:
             return False
-        m, n = len(phrase), len(toks)
-
-        def dfs(j: int, prev: int, limit: int) -> bool:
-            if j == m:
+        from itertools import product
+        pos = [[p for p, t in enumerate(toks) if t == term]
+               for term in phrase]
+        if any(not ps for ps in pos):
+            return False
+        for sel in product(*pos):
+            if len(set(sel)) != len(sel):
+                continue
+            adj = [p - i for i, p in enumerate(sel)]
+            if max(adj) - min(adj) <= slop:
                 return True
-            return any(toks[p] == phrase[j] and dfs(j + 1, p, limit)
-                       for p in range(prev + 1, min(limit, n - 1) + 1))
-
-        return any(toks[s] == phrase[0] and dfs(1, s, s + m - 1 + slop)
-                   for s in range(n))
+        return False
 
     def search(self, query_terms: list[str], k: int = 10,
                mode: str = "or", phrases: list | None = None,

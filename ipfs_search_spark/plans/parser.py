@@ -33,14 +33,17 @@ Supported grammar (superset of what the reference's own doc examples use):
   "a b"           phrase: terms must appear ADJACENT in analyzed order
                   (positional index required); quoted phrases are required
                   clauses regardless of mode, and their terms also score
-  "a b"~N         proximity phrase (Lucene query_string slop): the terms
-                  must appear IN ORDER within a window of len+N tokens —
-                  at most N extra tokens between the first and last term.
-                  Deviation from Lucene (documented in COVERAGE.md): the
-                  match must preserve term order — Lucene's slop is an
-                  edit distance that admits reordering at slop ≥ 2.
-                  Composes like any phrase: negated (-"a b"~N) and as a
-                  boolean-tree leaf ("a b"~N OR c)
+  "a b"~N         proximity phrase (Lucene query_string slop): one
+                  occurrence per phrase term (distinct positions when a
+                  term repeats) with adjusted-position range
+                  max(pos_i - i) - min(pos_i - i) <= N — Lucene's
+                  SloppyPhraseMatcher acceptance (slop as move edit
+                  distance). Reordering IS admitted once N covers the
+                  displacement: "b a"~2 matches "a b"; for in-order
+                  matches the rule equals "at most N extra tokens
+                  between first and last term". Composes like any
+                  phrase: negated (-"a b"~N) and as a boolean-tree leaf
+                  ("a b"~N OR c)
   -term / NOT t   NOT term (left-anti on the term's doc set)
   -"a b"          NOT phrase (docs containing the exact phrase are excluded)
   a AND b, a OR b boolean operators (uppercase, Lucene query_string rules);

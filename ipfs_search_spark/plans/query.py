@@ -118,22 +118,40 @@ _WILD_LIT_RE = re.compile(r"^[a-z0-9]*")
 
 
 def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
-    """Docs (int64 array) where `phrase`'s terms appear IN ORDER within a
-    window of len(phrase)+slop tokens — slop=0 is exact adjacency (the
-    `"a b"` form), slop=N the proximity form `"a b"~N` (at most N extra
-    tokens between the first and last phrase term, order preserved —
-    Lucene query_string sloppy-phrase, restricted to in-order matches;
-    COVERAGE.md documents the no-reorder deviation).
+    """Docs (int64 array) matching the phrase at the given slop.
+
+    slop=0 (`"a b"`): exact adjacency, in order. slop=N (`"a b"~N`):
+    Lucene query_string sloppy-phrase — the doc matches iff one occurrence
+    per phrase leaf can be chosen (distinct token positions when a term
+    repeats in the phrase) with
+        max_i(pos_i - i) - min_i(pos_i - i) <= slop,
+    the acceptance condition of Lucene's SloppyPhraseMatcher (slop as move
+    edit distance). Reordering IS admitted once slop covers the
+    displacement: `"b a"~2` matches "a b". For in-order selections the
+    condition is algebraically identical to the span rule
+    (last - first <= len-1+slop), so every in-order match of the old
+    windowed form is preserved.
 
     pos_data: term → (el_doc_ids int64, el_positions int64) — one element
-    per term OCCURRENCE. Fully vectorized: docs are densified, (doc, pos)
-    packed into one int64 key (positions < 2^32 since dl < 2^31), then a
-    GREEDY chain of sorted lower-bound probes: from each start position of
-    term 0, repeatedly take the smallest occurrence of term i after the
-    current position. Greedy minimizes the chain's end position, so a
-    start matches iff its greedy span fits the window — exact, no
-    backtracking. slop=0 degenerates to the old exact (doc, p+i)
-    membership chain."""
+    per term OCCURRENCE. Both paths are vectorized over ALL docs at once:
+    docs are densified and (doc, pos) packed into one int64 key
+    (positions < 2^32 since dl < 2^31).
+
+    slop=0 path: a GREEDY chain of sorted lower-bound probes — from each
+    start position of term 0, repeatedly take the smallest occurrence of
+    term i after the current position; greedy minimizes the chain's end,
+    so a start matches iff its greedy span fits — exact, no backtracking.
+
+    slop>0 path: minimal-range window over the union of ADJUSTED keys
+    (pos - leaf_offset, shifted positive). All leaves' adjusted keys are
+    merged and sorted; for each right edge r, left[r] is the smallest
+    index with key[r]-key[left] <= slop (binary search; windows never
+    cross docs because adjusted >= slop+1), and per-leaf prefix counts
+    decide whether every leaf occurs in [left[r], r]. A window containing
+    every leaf yields a selection with adjusted range <= slop and vice
+    versa. Phrases with REPEATED terms additionally verify that distinct
+    token positions can be assigned (tiny per-doc bipartite matching —
+    distinct terms can never collide since a position holds one token)."""
     import numpy as np
 
     empty = np.empty(0, dtype=np.int64)
@@ -143,6 +161,9 @@ def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
             return empty
         arrs.append(pos_data[t])
     all_docs = np.unique(np.concatenate([a[0] for a in arrs]))
+    s = np.int64(int(slop))
+    if s > 0:
+        return _match_phrase_sloppy(np, all_docs, arrs, phrase, int(slop))
     keys = []
     for el_ids, el_pos in arrs:
         dense = np.searchsorted(all_docs, el_ids).astype(np.int64)
@@ -151,7 +172,6 @@ def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
         keys.append(key)
     cur = keys[0]
     start = cur
-    s = np.int64(int(slop))
     for i in range(1, len(keys)):
         nxt = keys[i]
         # smallest occurrence of term i strictly after cur, same doc,
@@ -168,6 +188,78 @@ def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
         if cur.size == 0:
             return empty
     return np.unique(all_docs[start >> np.int64(32)])
+
+
+def _match_phrase_sloppy(np, all_docs, arrs, phrase: list, slop: int):
+    """slop>0 body of _match_phrase (see its docstring for semantics)."""
+    m = len(phrase)
+    off = np.int64(slop + m)  # adjusted >= slop+1: windows stay in-doc
+    keys_l, labels_l = [], []
+    for i, (el_ids, el_pos) in enumerate(arrs):
+        dense = np.searchsorted(all_docs, el_ids).astype(np.int64)
+        keys_l.append((dense << np.int64(32)) + el_pos - np.int64(i) + off)
+        labels_l.append(np.full(el_pos.size, i, dtype=np.int64))
+    keys = np.concatenate(keys_l)
+    labels = np.concatenate(labels_l)
+    order = np.argsort(keys, kind="stable")
+    keys, labels = keys[order], labels[order]
+    left = np.searchsorted(keys, keys - np.int64(slop), side="left")
+    pres = np.ones(keys.size, dtype=bool)
+    for i in range(m):
+        c = np.cumsum(labels == i)
+        pres &= (c - np.where(left > 0, c[left - 1], 0)) > 0
+    hit = np.unique(keys[pres] >> np.int64(32))
+    if hit.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(set(phrase)) == m:
+        return np.unique(all_docs[hit])
+    # repeated phrase terms: the presence test can satisfy two leaves of
+    # the same term with ONE occurrence; verify a distinct assignment
+    # exists per candidate doc (Hall via augmenting paths, sizes ~m).
+    ok_docs = [d for d in hit.tolist()
+               if _sloppy_repeats_doc_ok(
+                   np, [arr[1][arr[0] == all_docs[d]] for arr in arrs],
+                   slop)]
+    if not ok_docs:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(all_docs[np.asarray(ok_docs, dtype=np.int64)])
+
+
+def _sloppy_repeats_doc_ok(np, pos_by_leaf: list, slop: int) -> bool:
+    """One doc, repeated-term phrase: does a distinct-position selection
+    with adjusted range <= slop exist? Scans maximal windows of the merged
+    adjusted positions; each window that contains every leaf is checked
+    with a tiny bipartite matching (leaf → raw token position)."""
+    entries = sorted((int(p) - i, i, int(p))
+                     for i, arr in enumerate(pos_by_leaf)
+                     for p in arr.tolist())
+    m = len(pos_by_leaf)
+    adj = [e[0] for e in entries]
+    lo = 0
+    for hi in range(len(entries)):
+        while adj[hi] - adj[lo] > slop:
+            lo += 1
+        window = entries[lo:hi + 1]
+        cand: dict = {}
+        for _, leaf, raw in window:
+            cand.setdefault(leaf, set()).add(raw)
+        if len(cand) < m:
+            continue
+        match: dict = {}
+
+        def try_leaf(i: int, seen: set) -> bool:
+            for r in cand[i]:
+                if r in seen:
+                    continue
+                seen.add(r)
+                if r not in match or try_leaf(match[r], seen):
+                    match[r] = i
+                    return True
+            return False
+
+        if all(try_leaf(i, set()) for i in range(m)):
+            return True
+    return False
 
 
 def _filters_pred(p: Query, doc_cols) -> str | None:

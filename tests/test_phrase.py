@@ -184,9 +184,11 @@ def test_slop_parse():
 
 
 def test_slop_window_semantics(spark, tmp_path):
-    """Deterministic planted positions: `"alpha beta"~N` matches iff beta
-    follows alpha with at most N intervening tokens; order is preserved
-    (COVERAGE.md deviation: no reordering, unlike Lucene slop >= 2)."""
+    """Deterministic planted positions: `"alpha beta"~N` matches iff one
+    position per term exists with adjusted range (pos_beta-1)-(pos_alpha)
+    in [-N, N] — in-order matches need at most N intervening tokens, and
+    a REORDERED pair matches once N covers the displacement (Lucene slop
+    as move edit distance: "beta alpha" needs slop 2)."""
     from ipfs_search_spark.catalog import TableIO
     from ipfs_search_spark.operators.index_build import build_index_from_docs
     docs = spark.createDataFrame(
@@ -195,12 +197,16 @@ def test_slop_window_semantics(spark, tmp_path):
          ("u3", 3, "alpha pad pad beta", "en", "ok"),
          ("u4", 4, "beta alpha pad", "en", "ok"),
          ("u5", 5, "alpha pad pad pad beta", "en", "ok"),
-         ("u6", 6, "alpha pad beta pad gamma", "en", "ok")],
+         ("u6", 6, "alpha pad beta pad gamma", "en", "ok"),
+         ("u7", 7, "beta pad alpha", "en", "ok")],
         "url string, doc_id long, text string, lang string, status string")
     io = TableIO(spark, str(tmp_path / "slop-ix"))
     build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=4,
                           positions=True)
-    want = {0: {1}, 1: {1, 2, 6}, 2: {1, 2, 3, 6}, 3: {1, 2, 3, 5, 6}}
+    # doc 4 "beta alpha": adjusted displacement 2 -> matches at slop >= 2;
+    # doc 7 "beta pad alpha": displacement 3 -> matches at slop >= 3
+    want = {0: {1}, 1: {1, 2, 6}, 2: {1, 2, 3, 4, 6},
+            3: {1, 2, 3, 4, 5, 6, 7}}
     for slop, exp in want.items():
         got = _run(spark, io, [(0, f'"alpha beta"~{slop}')],
                    k=100).get(0, [])
@@ -211,8 +217,43 @@ def test_slop_window_semantics(spark, tmp_path):
                    k=100).get(0, [])}
           for s in (1, 2, 3)}
     assert g3 == {1: set(), 2: {6}, 3: {6}}
-    # order preserved: doc 4 (beta before alpha) never matches
-    assert all(4 not in v for v in g3.values())
+    # reversed 2-term phrase mirrors the displacement rule
+    g_rev = {s: {d for _, d, _ in
+                 _run(spark, io, [(0, f'"beta alpha"~{s}')],
+                      k=100).get(0, [])}
+             for s in (0, 1, 2)}
+    assert g_rev == {0: {4}, 1: {4, 7}, 2: {1, 4, 7}}
+
+
+def test_slop_repeated_term_needs_distinct_positions(spark, tmp_path):
+    """A repeated phrase term must bind TWO occurrences: one 'alpha'
+    cannot satisfy `"alpha alpha"~N` at any slop (Lucene repeats rule)."""
+    from ipfs_search_spark.catalog import TableIO
+    from ipfs_search_spark.operators.index_build import build_index_from_docs
+    docs = spark.createDataFrame(
+        [("u1", 1, "alpha pad pad", "en", "ok"),
+         ("u2", 2, "alpha alpha pad", "en", "ok"),
+         ("u3", 3, "alpha pad alpha", "en", "ok"),
+         ("u4", 4, "pad alpha pad beta alpha", "en", "ok")],
+        "url string, doc_id long, text string, lang string, status string")
+    io = TableIO(spark, str(tmp_path / "slop-rep-ix"))
+    build_index_from_docs(spark, docs, io, n_shards=2, n_buckets=4,
+                          positions=True)
+    got = {s: {d for _, d, _ in
+               _run(spark, io, [(0, f'"alpha alpha"~{s}')],
+                    k=100).get(0, [])}
+           for s in (0, 1, 2, 3)}
+    # doc1 has ONE alpha: never matches. doc2 adjacent: slop 0. doc3 gap
+    # 1: slop 1. doc4 positions 1,4 (gap 2): slop 2.
+    assert got == {0: {2}, 1: {2, 3}, 2: {2, 3, 4}, 3: {2, 3, 4}}
+    # brute-force oracle agrees on the distinctness rule
+    from ipfs_search_spark.oracle import BM25Oracle
+    rows = [(r["url"], r["text"]) for r in docs.collect()]
+    orc = BM25Oracle({u: t for u, t in rows})
+    for s, exp in got.items():
+        urls = {u for u, _ in rows
+                if orc.phrase_match(u, ["alpha", "alpha"], s)}
+        assert {int(u[1:]) for u in urls} == exp, s
 
 
 def test_slop_zero_is_exact_adjacency(spark, pos_index):
@@ -417,3 +458,38 @@ def test_references_filter_on_index_without_column(spark, pos_index):
     assert got.get(1, []) == []
     alld = _run(spark, io, [(0, "data")], k=10**6).get(0, [])
     assert [d for _, d, _ in got.get(2, [])] == [d for _, d, _ in alld]
+
+
+def test_sloppy_matcher_random_parity_with_brute_oracle():
+    """No-Spark randomized stress: the vectorized sloppy matcher
+    (_match_phrase over raw position arrays) must agree with the
+    brute-force product oracle (BM25Oracle.phrase_match) on every
+    (doc, phrase, slop) combination — including reordering, repeated
+    phrase terms (distinct-position rule), and slop=0 adjacency."""
+    import random
+    from collections import defaultdict
+
+    import numpy as np
+
+    from ipfs_search_spark.oracle import BM25Oracle
+    from ipfs_search_spark.plans.query import _match_phrase
+
+    rng = random.Random(1234)
+    phrases = [["a", "b"], ["b", "a"], ["a", "b", "c"], ["a", "a"],
+               ["a", "b", "a"], ["c", "a", "b"]]
+    for _ in range(200):
+        toks = [rng.choice("abcx") for _ in range(rng.randint(1, 8))]
+        acc = defaultdict(lambda: ([], []))
+        for p, t in enumerate(toks):
+            acc[t][0].append(9)
+            acc[t][1].append(p)
+        pos_data = {t: (np.array(i, dtype=np.int64),
+                        np.array(p, dtype=np.int64))
+                    for t, (i, p) in acc.items()}
+        orc = BM25Oracle({9: " ".join(toks)})
+        for phrase in phrases:
+            for slop in (0, 1, 2, 3):
+                eng = 9 in set(_match_phrase(pos_data, phrase,
+                                             slop).tolist())
+                brute = orc.phrase_match(9, phrase, slop)
+                assert eng == brute, (toks, phrase, slop, eng, brute)
