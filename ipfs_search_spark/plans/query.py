@@ -161,9 +161,13 @@ def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
             return empty
         arrs.append(pos_data[t])
     all_docs = np.unique(np.concatenate([a[0] for a in arrs]))
-    s = np.int64(int(slop))
+    # clamp: positions < 2^31 (dl bound), so any slop >= 2^30 admits every
+    # in-doc selection a larger slop would — while keeping the packed
+    # adjusted key (pos - i + slop + m) inside the low 32 bits. Lucene
+    # accepts arbitrary int slop; semantics are identical under the clamp.
+    s = np.int64(min(int(slop), 1 << 30))
     if s > 0:
-        return _match_phrase_sloppy(np, all_docs, arrs, phrase, int(slop))
+        return _match_phrase_sloppy(np, all_docs, arrs, phrase, int(s))
     keys = []
     for el_ids, el_pos in arrs:
         dense = np.searchsorted(all_docs, el_ids).astype(np.int64)

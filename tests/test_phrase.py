@@ -460,6 +460,27 @@ def test_references_filter_on_index_without_column(spark, pos_index):
     assert [d for _, d, _ in got.get(2, [])] == [d for _, d, _ in alld]
 
 
+def test_sloppy_matcher_huge_slop_no_overflow():
+    """A slop beyond 2^32 must not overflow the packed (doc << 32) + pos
+    key: the matcher clamps to 2^30 (lossless — dl < 2^31), so a huge
+    `~N` behaves exactly like 'both terms anywhere in the doc' and doc
+    boundaries stay intact (doc 7 holds only 'a', doc 9 only 'b' — a
+    corrupted key could leak a cross-doc match)."""
+    import numpy as np
+
+    from ipfs_search_spark.plans.query import _match_phrase
+
+    pos_data = {
+        "a": (np.array([7, 8], dtype=np.int64),
+              np.array([0, 5], dtype=np.int64)),
+        "b": (np.array([8, 9], dtype=np.int64),
+              np.array([0, 3], dtype=np.int64)),
+    }
+    for slop in (2 ** 31, 2 ** 40, 10 ** 18):
+        got = set(_match_phrase(pos_data, ["a", "b"], slop).tolist())
+        assert got == {8}, slop
+
+
 def test_sloppy_matcher_random_parity_with_brute_oracle():
     """No-Spark randomized stress: the vectorized sloppy matcher
     (_match_phrase over raw position arrays) must agree with the
