@@ -1708,9 +1708,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 if p.bool_filters:
                     # filter leaves need doc metadata; pure-term
                     # default-true trees evaluate on bits alone — no
-                    # documents scan for branch A
-                    a = a.join(docs.select("doc_id", *meta_cols),
-                               "doc_id", "left")
+                    # documents scan for branch A. INNER join (candidate
+                    # doc_ids always exist in docs — same build) with the
+                    # bounded candidate side broadcast: a left join could
+                    # only broadcast-build its right (big) side, so it
+                    # would shuffle the documents table.
+                    a = (F.broadcast(a)
+                         .join(docs.select("doc_id", *meta_cols),
+                               "doc_id", "inner"))
                 a = (a.filter(F.expr(tree_pred))
                      .select("query_id", "doc_id",
                              F.when(F.col("score") > 0.0, F.col("score"))
@@ -1801,8 +1806,12 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     # Display-field lookup: broadcast the tiny top-k side so the big documents
     # table never shuffles (at 100 TB the doc_map is bucketed by doc_id and
     # this becomes a storage-partitioned join; the projection below prunes the
-    # scan to two columns either way).
+    # scan to two columns either way). INNER join, deliberately: every top-k
+    # doc_id was emitted by postings/branch-B scans over THIS documents table,
+    # so inner == right-outer here — and BroadcastHashJoin cannot build the
+    # right side of a right-outer join (the hint would be silently dropped and
+    # the full documents table would shuffle against k rows).
     return (docs.select("doc_id", "url")
-            .join(F.broadcast(topk), "doc_id", "right")
+            .join(F.broadcast(topk), "doc_id", "inner")
             .select("query_id", "rank", "doc_id", "url", "score")
             .orderBy("query_id", "rank"))

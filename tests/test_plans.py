@@ -34,6 +34,25 @@ def test_query_probe_broadcasts_small_side(spark, built_index):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_display_join_broadcasts_topk(spark, built_index):
+    """The final url-lookup join must broadcast the k-row top-k side and
+    never shuffle the documents table. The former right-outer form silently
+    dropped its broadcast hint (BHJ cannot build the right side of a right
+    outer join) and sort-merge-shuffled ALL docs against k rows — at 100 TB
+    that is a full-table shuffle per query batch."""
+    from ipfs_search_spark.plans.query import search
+    io, _ = built_index
+    df = search(spark, io, [(0, "data spark")], k=5)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the doc_id display join is present AND broadcast (formatted mode puts
+    # the keys on their own line under the BroadcastHashJoin node)
+    assert "BroadcastHashJoin" in plan
+    assert any(k.lstrip().startswith("[doc_id") for k in
+               [seg.split("\n")[0] for seg in plan.split("keys [1]: ")[1:]])
+
+
 def test_documents_scan_prunes_columns(spark, built_index):
     """Column pruning: a 2-column projection must not read the full schema."""
     io, _ = built_index
