@@ -965,6 +965,35 @@ def _render_only() -> None:
                       "sweep_sessions": sum(r["sessions"] for r in sweep)}))
 
 
+def _rescale() -> None:
+    """`python bench.py --rescale`: re-MEASURE only the scaling session,
+    graft it onto the last FULL run's persisted payload, and re-render
+    BENCH.md. The query/build headline stays the persisted run's; the
+    scaling block becomes the new gated session (appended to
+    SCALING_SWEEP.json like any other, so floors/tables follow too). For
+    when a full run's 40-minute query phase landed in a quiet window but a
+    co-tenant arrived exactly during its scaling tail — the header's raw
+    N→4N row should then be re-sampled from a real window of the SAME
+    build, not abandoned with the whole run. Only valid while the build
+    path is source-identical to the persisted run (the session's engine
+    tag lands in the history either way)."""
+    with open(PAYLOAD_FILE) as f:
+        payload = json.load(f)
+    if "scaling" not in payload:
+        raise SystemExit("no full-run payload to graft a scaling run onto")
+    scaling = scaling_run()
+    payload["scaling"] = scaling
+    sweep = sweep_summary()
+    if sweep:
+        payload["scaling_sweep"] = sweep
+    with open(PAYLOAD_FILE, "w") as f:
+        json.dump(payload, f, indent=1)
+    write_bench_md(payload)
+    print(json.dumps({"rescaled": True,
+                      "efficiency_n_to_4n": scaling["efficiency_n_to_4n"],
+                      "probes": scaling["capacity_probes_sec"]}))
+
+
 def _scale_worker(cpus: int, pages_dir: str) -> None:
     """Subprocess entry: one warmed build at one parallelism level in a
     fresh JVM; prints one JSON line.
@@ -997,6 +1026,9 @@ def main() -> None:
         return
     if "--render-only" in sys.argv:
         _render_only()
+        return
+    if "--rescale" in sys.argv:
+        _rescale()
         return
 
     t_suite = time.monotonic()
