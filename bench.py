@@ -759,13 +759,23 @@ def write_bench_md(payload: dict) -> None:
     sc = payload.get("scaling")
     if sc:
         lo, hi = sc["levels"]
+        # flag the in-session raw row with its own window's gate state, so
+        # the table alone says whether that one number is trustworthy
+        probes = sc.get("capacity_probes_sec") or []
+        spread = (max(probes) / min(probes)) if probes else None
+        bw = sc.get("machine_envelope", {}).get("bw_eff")
+        flagged = (spread is not None and spread > CPU_SPREAD_MAX) or \
+            (bw is not None and bw < DRAM_GATE_MIN)
+        raw_note = (f" — gate-flagged window (cpu spread {spread:.1f}, "
+                    f"envelope {bw}); the clean-window and floor rows "
+                    "below are the durable evidence" if flagged else "")
         lines += [
             f"| build docs/sec @ local[{lo}] (N) | "
             f"{sc[f'local{lo}']['docs_per_sec']} |",
             f"| build docs/sec @ local[{hi}] (4N) | "
             f"{sc[f'local{hi}']['docs_per_sec']} |",
             f"| scaling efficiency N→4N (raw, target ≥0.8 of 4x ideal) | "
-            f"{sc['efficiency_n_to_4n']} |",
+            f"{sc['efficiency_n_to_4n']}{raw_note} |",
             f"| best gated window, all sizes/sessions "
             f"(SCALING_SWEEP.json) | "
             f"{max((r['best_session_eff'] for r in payload.get('scaling_sweep') or []), default='n/a')} |",
