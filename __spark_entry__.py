@@ -51,6 +51,13 @@ def _engine_io(spark: SparkSession, sf_dir: str):
         F.col("doc_id").cast("string").alias("url"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"), F.col("lang"), F.lit("ok").alias("status"),
+        # nullable metadata column for the range/_exists_ filter entries:
+        # size = n_chars, NULL on every 9th doc — deterministic, mirrored
+        # verbatim by _ENTRY_SIZE_SQL in the DuckDB oracles, and NULL often
+        # enough that NULL-never-matches comparison semantics are
+        # load-bearing in the value hash
+        F.when(F.col("doc_id") % 9 == 0, F.lit(None))
+        .otherwise(F.col("n_chars")).cast("long").alias("size"),
     )
     build_index_from_docs(spark, docs, io, n_shards=4, n_buckets=16)
     _ENGINE_CACHE[key] = io
@@ -58,10 +65,12 @@ def _engine_io(spark: SparkSession, sf_dir: str):
 
 
 def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0,
-                     conj: bool = False) -> str:
+                     conj: bool = False, where: str | None = None) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     having = (f"HAVING count(DISTINCT t.term) = {len(terms)}"
               if conj else "")
+    flt = (f"AND t.doc_id IN (SELECT doc_id FROM documents WHERE {where})"
+           if where else "")
     return f"""
 WITH toks AS (
   SELECT doc_id, term, count(*) AS tf
@@ -85,6 +94,7 @@ WITH toks AS (
   JOIN dl d ON d.doc_id = t.doc_id
   CROSS JOIN stats s
   WHERE t.term IN ({tl})
+  {flt}
   GROUP BY t.doc_id
   {having}
 ), ranked AS (
@@ -731,6 +741,47 @@ def q_match_all_filter(spark, sf_dir):
     io = _engine_io(spark, sf_dir)
     out = search(spark, io, [(0, "lang:de")], k=20)
     return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# the entry index's nullable size column, as DuckDB sees it (mirror of the
+# _engine_io construction: n_chars, NULL on every 9th doc)
+_ENTRY_SIZE_SQL = "CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END"
+
+
+def q_range_filter(spark, sf_dir):
+    """Lucene bracket-range filter (`size:[A TO B]`, the OpenSearch
+    query_string range syntax — the same filter family as the reference's
+    `last-seen:>now-1M`, /root/reference/docs/api.md:4) as a top-level
+    conjunct on a SCORED query: BM25 over 'merge' restricted to docs whose
+    size lands in [500 TO 2500]. The entry index plants size = n_chars
+    with NULL on every 9th doc, so NULL-never-matches comparison semantics
+    participate in the value hash. Takes the engine's in-shard filtered
+    scoring path (cogrouped allowed-set, per-shard cut kept)."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, "merge size:[500 TO 2500]")],
+                 k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def q_exists_filter(spark, sf_dir):
+    """`-_exists_:size` — Lucene's field-exists probe, negated: a must_not
+    clause that keeps exactly the NULL-size docs (the coalesce in
+    _maybe_negate; a bare SQL NOT would drop them under 3-valued logic).
+    Scored query, so the kept docs still rank by BM25 over 'merge'."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, "merge -_exists_:size")],
+                 k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
 
 
 # html constructed deterministically from doc_id for the outlink-extraction
@@ -1816,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": q_phrase_search,
         "q_phrase_slop": q_phrase_slop,
         "q_match_all_filter": q_match_all_filter,
+        "q_range_filter": q_range_filter,
+        "q_exists_filter": q_exists_filter,
         "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
         "q_outlinks": q_outlinks,
@@ -2056,6 +2109,12 @@ SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
        CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank
 FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
 """,
+        "q_range_filter": _bm25_oracle_sql(
+            ["merge"], FLAGSHIP_K,
+            where=f"({_ENTRY_SIZE_SQL}) BETWEEN 500 AND 2500"),
+        "q_exists_filter": _bm25_oracle_sql(
+            ["merge"], FLAGSHIP_K,
+            where=f"({_ENTRY_SIZE_SQL}) IS NULL"),
         "q_paging": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                      offset=FLAGSHIP_K),
         "q_crawl_reach": """

@@ -59,6 +59,19 @@ Supported grammar (superset of what the reference's own doc examples use):
                                      whose name matches — docs/api.md:4)
   last-seen:>X / last_seen:>now-1M   range filter; now-<n><d|h|M|y> relative
   size:>N, size:<N                   numeric range filter
+  field:[A TO B]  Lucene bracket range (query_string range syntax):
+                  inclusive `[..]`, exclusive `{..}`, mixed `[A TO B}` /
+                  `{A TO B]`; `*` opens an end (`size:[100 TO *]`);
+                  `[* TO *]` = the field exists. Value syntax per field as
+                  above (integers for size, timestamps / now-rel for
+                  last-seen, plain strings lexicographically otherwise).
+                  Uppercase TO required, as in Lucene. Composes like any
+                  filter: top-level conjunct, negated, or boolean-tree leaf
+  _exists_:field  field-exists filter (docs whose field is non-NULL;
+                  `_exists_:references.name` = any reference has a name);
+                  -_exists_:field keeps only the NULL-field docs. The field
+                  must be filterable — unknown targets raise
+                  QueryParseError rather than silently matching nothing
 
 Filters compose two ways:
 - as top-level conjuncts (`data lang:de`): pure constraints on the result
@@ -103,7 +116,11 @@ _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
                   "first-seen", "first_seen", "size", "references.name"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
 _TOKEN_RE = re.compile(
-    r'-?"[^"]*"(?:~[0-9.]*)?(?:\^[0-9.]+)?|\(|\)|[^\s()]+')
+    r'-?"[^"]*"(?:~[0-9.]*)?(?:\^[0-9.]+)?'
+    # bracket-range filter: the [A TO B] body contains a space, so it must
+    # be lexed as ONE token before the whitespace-delimited fallback
+    r'|-?[^\s():]+:[\[{][^\[\]{}()]*[\]}]'
+    r'|\(|\)|[^\s()]+')
 _BOOST_RE = re.compile(r"^(.*?)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
 _OPS = {"AND", "OR", "NOT", "(", ")", "-"}
 
@@ -207,6 +224,14 @@ def _is_filter_tok(tok: str) -> Filter | None:
     if ":" not in tok or tok.startswith('"'):
         return None
     fld, _, val = tok.partition(":")
+    if fld.lower() == "_exists_":
+        # Lucene query_string `_exists_:field` — docs whose field is
+        # non-NULL. Unknown targets raise (errors, not silent no-matches).
+        tgt = _norm_field(val.lower())
+        if tgt not in {_norm_field(f) for f in _FILTER_FIELDS}:
+            raise QueryParseError(
+                f"_exists_ target {val!r} is not a filterable field")
+        return Filter(tgt, "ex", "", neg=neg)
     if fld.lower() not in _FILTER_FIELDS:
         return None
     op = "="
@@ -214,6 +239,18 @@ def _is_filter_tok(tok: str) -> Filter | None:
         if val.startswith(cand):
             op, val = cand, val[len(cand):]
             break
+    if op == "=" and len(val) >= 2 and val[0] in "[{" and val[-1] in "]}":
+        # Lucene bracket range: op encodes the two bracket chars ('[]',
+        # '[}', '{]', '{}'); value keeps the raw "lo TO hi" body, rendered
+        # and validated per-field in filter_to_sql.
+        body = val[1:-1]
+        lo, sep, hi = body.partition(" TO ")
+        if not sep or not lo.strip() or not hi.strip() or " TO " in hi:
+            raise QueryParseError(
+                f"range filter {tok!r} must be "
+                "[lo TO hi] (uppercase TO, * for an open end)")
+        op = val[0] + val[-1]
+        val = f"{lo.strip()} TO {hi.strip()}"
     if fld.lower() == "references.name" and op != "=":
         # parse-time so the error fires even on indexes whose documents
         # table lacks a references column
@@ -721,30 +758,45 @@ class QueryParseError(ValueError):
     """Malformed filter value in a user query string."""
 
 
-def filter_to_sql(flt: Filter) -> str:
-    """Render one filter as a Spark SQL predicate over the documents table.
-    Values are validated/escaped — user query strings must never inject SQL
-    expressions (size:>abc would otherwise reach Catalyst as a column ref)."""
-    fld = flt.field
+_RANGE_OPS = {"[]", "[}", "{]", "{}"}
+
+
+def _render_rhs(fld: str, value: str) -> str:
+    """Validate + render one comparison value for `fld` as a SQL literal
+    (or interval expression). User query strings must never inject SQL
+    expressions — size:>abc would otherwise reach Catalyst as a column
+    ref."""
     if fld in ("last_seen", "first_seen"):
-        m = _REL_RE.match(flt.value)
+        m = _REL_RE.match(value)
         if m:
             n, unit = int(m.group(1)), m.group(2)
             iv = {"d": "DAYS", "h": "HOURS", "M": "DAYS", "y": "DAYS"}[unit]
             mult = {"d": 1, "h": 1, "M": 30, "y": 365}[unit]
-            rhs = f"current_timestamp() - INTERVAL {n * mult} {iv}"
-        elif _TS_RE.match(flt.value):
-            rhs = f"timestamp'{flt.value}'"
-        else:
+            return f"current_timestamp() - INTERVAL {n * mult} {iv}"
+        if _TS_RE.match(value):
+            return f"timestamp'{value}'"
+        raise QueryParseError(
+            f"invalid {fld} filter value {value!r}: expected "
+            "now-<n><d|h|M|y> or YYYY-MM-DD[ HH:MM[:SS]]")
+    if fld == "size":
+        if not _INT_RE.match(value):
             raise QueryParseError(
-                f"invalid {fld} filter value {flt.value!r}: expected "
-                "now-<n><d|h|M|y> or YYYY-MM-DD[ HH:MM[:SS]]")
-    elif fld == "size":
-        if not _INT_RE.match(flt.value):
-            raise QueryParseError(
-                f"invalid size filter value {flt.value!r}: expected integer")
-        rhs = flt.value
-    elif fld == "references.name":
+                f"invalid size filter value {value!r}: expected integer")
+        return value
+    return "'" + value.replace("'", "''") + "'"
+
+
+def filter_to_sql(flt: Filter) -> str:
+    """Render one filter as a Spark SQL predicate over the documents
+    table. All value validation/escaping goes through _render_rhs."""
+    fld = flt.field
+    if flt.op == "ex":
+        # `_exists_:field` — non-NULL; for the array-of-struct references
+        # field, any element carrying a name
+        pred = ("exists(references, r -> r.name IS NOT NULL)"
+                if fld == "references.name" else f"{fld} IS NOT NULL")
+        return _maybe_negate(pred, flt.neg)
+    if fld == "references.name":
         # inbound-edge filter (the reference API's `references.name:epub`,
         # /root/reference/docs/api.md:4): any element of the references
         # array-of-struct matches by name — equality only (a range over a
@@ -755,8 +807,22 @@ def filter_to_sql(flt: Filter) -> str:
         v = flt.value.replace("'", "''")
         pred = f"exists(references, r -> r.name = '{v}')"
         return _maybe_negate(pred, flt.neg)
-    else:
-        rhs = "'" + flt.value.replace("'", "''") + "'"
+    if flt.op in _RANGE_OPS:
+        # Lucene bracket range — op holds the bracket pair, value the
+        # "lo TO hi" body; * opens an end, [* TO *] = the field exists
+        lo, _, hi = flt.value.partition(" TO ")
+        preds = []
+        if lo != "*":
+            preds.append(
+                f"{fld} >{'=' if flt.op[0] == '[' else ''} "
+                f"{_render_rhs(fld, lo)}")
+        if hi != "*":
+            preds.append(
+                f"{fld} <{'=' if flt.op[1] == ']' else ''} "
+                f"{_render_rhs(fld, hi)}")
+        pred = " AND ".join(preds) if preds else f"{fld} IS NOT NULL"
+        return _maybe_negate(f"({pred})", flt.neg)
+    rhs = _render_rhs(fld, flt.value)
     return _maybe_negate(f"{fld} {flt.op} {rhs}", flt.neg)
 
 

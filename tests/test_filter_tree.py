@@ -30,7 +30,22 @@ def env(spark, built_index):
 
 
 def _leaf(meta_row, flt) -> bool:
-    if flt.field in ("lang", "status"):
+    if flt.op == "ex":
+        hit = meta_row[flt.field] is not None
+    elif flt.op in ("[]", "[}", "{]", "{}"):
+        v = meta_row[flt.field]
+        conv = int if flt.field == "size" else str
+        lo, _, hi = flt.value.partition(" TO ")
+        if v is None:
+            hit = False  # SQL comparison semantics: NULL never matches
+        else:
+            v = conv(v)
+            hit = True
+            if lo != "*":
+                hit &= v >= conv(lo) if flt.op[0] == "[" else v > conv(lo)
+            if hi != "*":
+                hit &= v <= conv(hi) if flt.op[1] == "]" else v < conv(hi)
+    elif flt.field in ("lang", "status"):
         hit = str(meta_row[flt.field]) == flt.value
     elif flt.field == "size":
         v = meta_row["size"] or 0
@@ -78,6 +93,11 @@ QUERIES = [
     "(lang:de OR data) AND merge",
     "(lang:en OR lang:de)",
     "size:>1000 (lang:de OR data)",
+    "size:[1000 TO 3000] OR data",
+    "(size:{500 TO 2500] AND data) OR merge",
+    "lang:[de TO en] OR data",
+    "data OR _exists_:lang",
+    "size:[2000 TO *] (lang:de OR data)",
 ]
 
 
