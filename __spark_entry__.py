@@ -1062,6 +1062,26 @@ def q_fuzzy_search(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+def q_fuzzy_transpose(spark, sf_dir):
+    """Lucene-DEFAULT fuzzy behavior (FuzzyQuery transpositions=true,
+    OpenSearch query_string `fuzzy_transpositions`): `part~2` expands by
+    Damerau-Levenshtein — an adjacent swap costs 1 instead of 2 — so the
+    expansion set and its (distance, term) rank order both differ from
+    q_fuzzy_search's classic-distance set wherever a transposition is the
+    cheaper explanation. Engine: Searcher(fuzzy_transpositions=True); the
+    oracle mirrors with DuckDB damerau_levenshtein() (the same true-DL
+    definition, property-tested in tests/test_fuzzy_transpositions.py)."""
+    from ipfs_search_spark.plans.query import Searcher
+    io = _engine_io(spark, sf_dir)
+    sx = Searcher(spark, io, fuzzy_transpositions=True)
+    raw = sx.search([(0, f"{FUZZY_BASE}~{FUZZY_DIST}")], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_wildcard_search(spark, sf_dir):
     """General-wildcard query through the engine: `*er*` (leading wildcard
     → bounded full-vocabulary regex scan, like Lucene with
@@ -1114,14 +1134,17 @@ SELECT doc_id, score, rank FROM ranked WHERE rank <= {k} ORDER BY rank
 """
 
 
-def _fuzzy_oracle_sql(base: str, dist: int, k: int, cap: int) -> str:
+def _fuzzy_oracle_sql(base: str, dist: int, k: int, cap: int,
+                      fn: str = "levenshtein") -> str:
     """Expansion CTE = the engine's fuzzy rewrite: vocabulary terms within
-    edit distance `dist`, ranked (levenshtein, term), capped — DuckDB's
-    levenshtein() is the same unit-cost edit distance as the engine's."""
+    edit distance `dist`, ranked (distance, term), capped — DuckDB's
+    levenshtein() is the same unit-cost edit distance as the engine's, and
+    its damerau_levenshtein() the same true-DL the transpositions mode
+    pins (plans/query.py damerau_levenshtein)."""
     return _expansion_oracle_sql(f"""
   SELECT term, count(*) AS df FROM toks
-  WHERE levenshtein(term, '{base}') <= {dist}
-  GROUP BY term ORDER BY levenshtein(term, '{base}'), term LIMIT {cap}""", k)
+  WHERE {fn}(term, '{base}') <= {dist}
+  GROUP BY term ORDER BY {fn}(term, '{base}'), term LIMIT {cap}""", k)
 
 
 def _wildcard_oracle_sql(pattern: str, k: int, cap: int) -> str:
@@ -1861,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": q_bm25_and,
         "q_prefix_search": q_prefix_search,
         "q_fuzzy_search": q_fuzzy_search,
+        "q_fuzzy_transpose": q_fuzzy_transpose,
         "q_wildcard_search": q_wildcard_search,
         "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
@@ -2004,6 +2028,9 @@ FROM dl
             PREFIX_QUERY, FLAGSHIP_K, _max_prefix_expansions()),
         "q_fuzzy_search": _fuzzy_oracle_sql(
             FUZZY_BASE, FUZZY_DIST, FLAGSHIP_K, _max_prefix_expansions()),
+        "q_fuzzy_transpose": _fuzzy_oracle_sql(
+            FUZZY_BASE, FUZZY_DIST, FLAGSHIP_K, _max_prefix_expansions(),
+            fn="damerau_levenshtein"),
         "q_wildcard_search": _wildcard_oracle_sql(
             WILDCARD_PATTERN, FLAGSHIP_K, _max_prefix_expansions()),
         "q_filter_tree": _FILTER_TREE_ORACLE,

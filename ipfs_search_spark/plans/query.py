@@ -108,6 +108,45 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """True Damerau-Levenshtein (Lowrance-Wagner: insert / delete /
+    substitute / transpose, where a transposition may span intervening
+    edits — 'ca'→'abc' = 2). This is the definition DuckDB's
+    damerau_levenshtein() implements, so in transpositions mode the cached
+    driver-side expansion, the distributed scan's exact re-check, and the
+    SQL oracle pick identical expansion sets (the same three-way identity
+    the classic fuzzy path keys on levenshtein). Lucene's
+    FuzzyQuery(transpositions=true) automaton is the adjacent-transposition
+    family; on gap-transposition corner cases true DL admits strictly more
+    terms — pinned deliberately to the DuckDB definition (COVERAGE.md
+    deviations). Bounds used by the scan prefilter: DL ≤ lev ≤ 2·DL."""
+    da: dict = {}
+    la, lb = len(a), len(b)
+    inf = la + lb
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            ll = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,                            # sub / match
+                d[i + 1][j] + 1,                           # insert
+                d[i][j + 1] + 1,                           # delete
+                d[k][ll] + (i - k - 1) + 1 + (j - ll - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def _wildcard_regex(pattern: str) -> str:
     """Anchored regex for a [a-z0-9*?] wildcard pattern (parser-validated:
     alnum-only literals, so no escaping is needed)."""
@@ -972,14 +1011,24 @@ class Searcher:
 
     def __init__(self, spark: SparkSession, io: TableIO,
                  cache_terms: bool | None = None,
-                 include_segments: bool | None = None):
-        """include_segments: also search `posting_segments` (incremental
+                 include_segments: bool | None = None,
+                 fuzzy_transpositions: bool = False):
+        """fuzzy_transpositions: OpenSearch query_string's
+        `fuzzy_transpositions` request option — fuzzy clauses expand by
+        Damerau-Levenshtein (an adjacent swap costs 1) instead of classic
+        edit distance. Off by default: classic distance is the definition
+        shared bit-for-bit by F.levenshtein and DuckDB levenshtein();
+        transpositions mode keeps its own three-way identity through
+        damerau_levenshtein (python / Arrow-batched re-check / DuckDB).
+
+        include_segments: also search `posting_segments` (incremental
         micro-batch appends, streaming/ingest_stream.py). Segments hold only
         NEW docs (anti-joined at ingest), so the union's doc sets are
         disjoint and exact global stats are recomputed over the union —
         scores match a from-scratch rebuild bit-for-bit. Default: on when
         the segments table exists."""
         self.spark, self.io = spark, io
+        self.fuzzy_transpositions = bool(fuzzy_transpositions)
         self.documents = io.read("documents")
         has_base = io.exists("postings")
         if include_segments is None:
@@ -1130,8 +1179,25 @@ class Searcher:
         df = self.term_stats
         if pre:
             df = df.filter(F.col("term").startswith(pre))
-        return (df.filter(F.length(bare_col).between(lo, hi))
-                .withColumn("_d", F.levenshtein(bare_col, F.lit(base)))
+        df = df.filter(F.length(bare_col).between(lo, hi))
+        if not self.fuzzy_transpositions:
+            return (df.withColumn("_d",
+                                  F.levenshtein(bare_col, F.lit(base)))
+                    .filter(F.col("_d") <= dist)
+                    .orderBy("_d", "term").limit(cap))
+        # transpositions mode: DL ≤ lev ≤ 2·DL, so lev ≤ 2·dist is a sound
+        # JVM-side (codegen) prefilter over the length band; the exact
+        # Damerau distance evaluates in an Arrow-batched pandas UDF over
+        # only the prefilter survivors — a vocabulary scan, never a
+        # document-path hot loop
+
+        @F.pandas_udf(IntegerType())
+        def _dl(terms: pd.Series) -> pd.Series:
+            return terms.map(
+                lambda t: damerau_levenshtein(t, base)).astype("int32")
+
+        return (df.filter(F.levenshtein(bare_col, F.lit(base)) <= 2 * dist)
+                .withColumn("_d", _dl(bare_col))
                 .filter(F.col("_d") <= dist)
                 .orderBy("_d", "term").limit(cap))
 
@@ -1188,6 +1254,8 @@ class Searcher:
         # fuzzy: candidates within the length band, ranked (distance, term)
         base, dist = exp.value, exp.dist
         lo, hi = len(base) - dist, len(base) + dist
+        dist_fn = (damerau_levenshtein if self.fuzzy_transpositions
+                   else levenshtein)
         if self._term_cache is not None:
             cand = []
             for t in self._term_cache:
@@ -1196,7 +1264,7 @@ class Searcher:
                     continue
                 if not lo <= len(bare) <= hi:
                     continue
-                d = levenshtein(bare, base)
+                d = dist_fn(bare, base)
                 if d <= dist:
                     cand.append((d, t))
             cand.sort()
@@ -1236,7 +1304,7 @@ def more_like_this_query(text: str, n_hashes: int = 8, bands: int = 4,
 def search(spark: SparkSession, io: TableIO, queries: list,
            k: int = 10, mode: str = "or", prune: bool = True,
            fields: dict | None = None, combine: str = "sum",
-           offset: int = 0) -> DataFrame:
+           offset: int = 0, fuzzy_transpositions: bool = False) -> DataFrame:
     """queries: list of (query_id:int, query_string) → DataFrame
     (query_id, rank, doc_id, url, score), rank offset+1..offset+k (result
     paging — the reference API's page parameter), ties by doc_id asc.
@@ -1244,10 +1312,13 @@ def search(spark: SparkSession, io: TableIO, queries: list,
     fields: {field_name: boost} for a fielded index (build_fielded_index) —
     the reference's default_field multi-match surface
     (/root/reference/docs/indices/files.json:10-37). combine='max' is
-    OpenSearch query_string's best_fields/dis_max; 'sum' is BM25F-lite."""
-    return Searcher(spark, io).search(queries, k=k, mode=mode, prune=prune,
-                                      fields=fields, combine=combine,
-                                      offset=offset)
+    OpenSearch query_string's best_fields/dis_max; 'sum' is BM25F-lite.
+
+    fuzzy_transpositions: expand fuzzy clauses by Damerau-Levenshtein
+    (OpenSearch's request option of the same name) — see Searcher."""
+    sx = Searcher(spark, io, fuzzy_transpositions=fuzzy_transpositions)
+    return sx.search(queries, k=k, mode=mode, prune=prune,
+                     fields=fields, combine=combine, offset=offset)
 
 
 def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
@@ -1321,9 +1392,12 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
             for fld in sorted(fields):
                 cand.update(sx.expand(e, field=fld))
             if e.kind == "fuzzy":
+                dist_fn = (damerau_levenshtein if sx.fuzzy_transpositions
+                           else levenshtein)
+
                 def _rk(t):
                     bare = t.split(":", 1)[1]
-                    return (levenshtein(bare, e.value), bare, t)
+                    return (dist_fn(bare, e.value), bare, t)
             else:
                 def _rk(t):
                     return (t.split(":", 1)[1], t)
