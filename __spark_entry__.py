@@ -748,6 +748,24 @@ def q_match_all_filter(spark, sf_dir):
 _ENTRY_SIZE_SQL = "CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END"
 
 
+def q_field_group(spark, sf_dir):
+    """Field-scoped group (Lucene query_string grouping): `lang:(de OR en)
+    AND merge` — the field distributes over the group members
+    (parser._expand_field_groups), the members become constant-score
+    filter leaves of the boolean tree, and the required `merge` leaf keeps
+    BM25 scoring. Docs match iff lang ∈ {de, en} AND merge present; score
+    = BM25(merge)."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, "lang:(de OR en) AND merge")],
+                 k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_range_filter(spark, sf_dir):
     """Lucene bracket-range filter (`size:[A TO B]`, the OpenSearch
     query_string range syntax — the same filter family as the reference's
@@ -1893,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_match_all_filter": q_match_all_filter,
         "q_range_filter": q_range_filter,
         "q_exists_filter": q_exists_filter,
+        "q_field_group": q_field_group,
         "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
         "q_outlinks": q_outlinks,
@@ -2142,6 +2161,8 @@ FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
         "q_exists_filter": _bm25_oracle_sql(
             ["merge"], FLAGSHIP_K,
             where=f"({_ENTRY_SIZE_SQL}) IS NULL"),
+        "q_field_group": _bm25_oracle_sql(
+            ["merge"], FLAGSHIP_K, where="lang IN ('de', 'en')"),
         "q_paging": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                      offset=FLAGSHIP_K),
         "q_crawl_reach": """

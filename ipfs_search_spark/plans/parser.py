@@ -72,6 +72,12 @@ Supported grammar (superset of what the reference's own doc examples use):
                   -_exists_:field keeps only the NULL-field docs. The field
                   must be filterable — unknown targets raise
                   QueryParseError rather than silently matching nothing
+  field:(a OR b)  field-scoped group (Lucene query_string grouping): the
+                  field distributes over every member — `lang:(de OR en)`
+                  ≡ `(lang:de OR lang:en)`, `size:(>100 <500)` works,
+                  `-lang:(de en)` negates the whole group, `-member`
+                  negates one member. Filter fields only; other fields
+                  keep today's analyzed-term behavior
 
 Filters compose two ways:
 - as top-level conjuncts (`data lang:de`): pure constraints on the result
@@ -266,9 +272,63 @@ def _split_boost(tok: str) -> tuple[str, float | None]:
     return tok, None
 
 
+_FIELD_GROUP_RE = re.compile(r"^(-?)([A-Za-z0-9_.\-]+):$")
+
+
+def _expand_field_groups(toks: list[str]) -> list[str]:
+    """Lucene field-scoped groups over filter fields: `lang:(de OR en)`
+    rewrites to `( lang:de OR lang:en )` (the field distributes over every
+    group member, operators pass through, a leading `-` on the whole group
+    becomes NOT — Lucene query_string grouping rules). Scoped to
+    _FILTER_FIELDS: for any other field the token stream is left alone
+    (the analyzer splits `title:a` into plain terms, today's behavior).
+    Nested groups and bracket-range members raise — errors, not silently
+    different queries."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        m = _FIELD_GROUP_RE.match(t)
+        if (m and i + 1 < len(toks) and toks[i + 1] == "("
+                and m.group(2).lower() in _FILTER_FIELDS):
+            neg, fld = m.group(1), m.group(2)
+            j = i + 2
+            members: list[str] = []
+            while j < len(toks) and toks[j] != ")":
+                if toks[j] == "(":
+                    raise QueryParseError(
+                        f"nested parens inside field group {fld}:(...)")
+                members.append(toks[j])
+                j += 1
+            if j >= len(toks):
+                raise QueryParseError(f"unclosed field group {fld}:(")
+            if not [x for x in members if x not in ("AND", "OR", "NOT")]:
+                raise QueryParseError(f"empty field group {fld}:()")
+            if neg:
+                out.append("NOT")
+            out.append("(")
+            for mt in members:
+                if mt in ("AND", "OR", "NOT"):
+                    out.append(mt)
+                elif mt.startswith(("[", "{")):
+                    raise QueryParseError(
+                        f"bracket range inside field group {fld}:(...) — "
+                        f"write {fld}:[A TO B] directly")
+                elif mt.startswith("-") and len(mt) > 1:
+                    out.append(f"-{fld}:{mt[1:]}")
+                else:
+                    out.append(f"{fld}:{mt}")
+            out.append(")")
+            i = j + 1
+        else:
+            out.append(t)
+            i += 1
+    return out
+
+
 def parse_query(q: str, mode: str = "or") -> Query:
     out = Query(mode=mode)
-    toks = _TOKEN_RE.findall(q)
+    toks = _expand_field_groups(_TOKEN_RE.findall(q))
 
     # filters are top-level conjuncts — strip them from the stream first
     # (with any explicit AND gluing them in); a filter under parens, OR, or

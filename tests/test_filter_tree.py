@@ -98,6 +98,12 @@ QUERIES = [
     "lang:[de TO en] OR data",
     "data OR _exists_:lang",
     "size:[2000 TO *] (lang:de OR data)",
+    # field-scoped groups (Lucene query_string grouping) — rewritten by
+    # _expand_field_groups into ordinary filter leaves
+    "lang:(de OR en) AND data",
+    "size:(>2500 <800) OR data",
+    "data -lang:(de en)",
+    "lang:(de OR -en) OR merge",
 ]
 
 
