@@ -65,10 +65,17 @@ def _engine_io(spark: SparkSession, sf_dir: str):
 
 
 def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0,
-                     conj: bool = False, where: str | None = None) -> str:
+                     conj: bool = False, where: str | None = None,
+                     must: list[str] | None = None) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     having = (f"HAVING count(DISTINCT t.term) = {len(terms)}"
               if conj else "")
+    if must:
+        # Lucene `+` must+should: docs must contain every must-term; the
+        # remaining terms stay optional but still contribute to the sum
+        ml = ", ".join(f"'{t}'" for t in must)
+        having = (f"HAVING count(DISTINCT CASE WHEN t.term IN ({ml}) "
+                  f"THEN t.term END) = {len(must)}")
     flt = (f"AND t.doc_id IN (SELECT doc_id FROM documents WHERE {where})"
            if where else "")
     return f"""
@@ -746,6 +753,23 @@ def q_match_all_filter(spark, sf_dir):
 # the entry index's nullable size column, as DuckDB sees it (mirror of the
 # _engine_io construction: n_chars, NULL on every 9th doc)
 _ENTRY_SIZE_SQL = "CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END"
+
+
+def q_required_term(spark, sf_dir):
+    """Lucene `+` required operator (simple query style): `+merge window`
+    — docs MUST contain merge; window stays optional but scores
+    (must+should summation). Rewritten by parser._apply_required_ops into
+    `merge AND (merge OR window)`, so matching and scoring both run
+    through the ordinary boolean-tree path. Oracle: HAVING on the
+    must-term, scoring summed over both terms."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, "+merge window")], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
 
 
 def q_field_group(spark, sf_dir):
@@ -1912,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_filter": q_range_filter,
         "q_exists_filter": q_exists_filter,
         "q_field_group": q_field_group,
+        "q_required_term": q_required_term,
         "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
         "q_outlinks": q_outlinks,
@@ -2163,6 +2188,8 @@ FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
             where=f"({_ENTRY_SIZE_SQL}) IS NULL"),
         "q_field_group": _bm25_oracle_sql(
             ["merge"], FLAGSHIP_K, where="lang IN ('de', 'en')"),
+        "q_required_term": _bm25_oracle_sql(
+            ["merge", "window"], FLAGSHIP_K, must=["merge"]),
         "q_paging": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                      offset=FLAGSHIP_K),
         "q_crawl_reach": """

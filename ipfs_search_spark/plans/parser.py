@@ -45,6 +45,12 @@ Supported grammar (superset of what the reference's own doc examples use):
                   phrase: negated (-"a b"~N) and as a boolean-tree leaf
                   ("a b"~N OR c)
   -term / NOT t   NOT term (left-anti on the term's doc set)
+  +term           required term (Lucene's `+` operator, simple query
+                  style): the doc MUST contain it; bare terms alongside
+                  stay optional but still score (must+should summation).
+                  `+` composes with phrases/expansions/filters; inside
+                  explicit boolean syntax it is redundant and stripped
+                  (Lucene lowers AND to '+' internally)
   -"a b"          NOT phrase (docs containing the exact phrase are excluded)
   a AND b, a OR b boolean operators (uppercase, Lucene query_string rules);
   ( ... )         grouping; arbitrary nesting of AND/OR/NOT over terms and
@@ -122,10 +128,10 @@ _FILTER_FIELDS = {"lang", "status", "url", "last-seen", "last_seen",
                   "first-seen", "first_seen", "size", "references.name"}
 _REL_RE = re.compile(r"^now-(\d+)([dhMy])$")
 _TOKEN_RE = re.compile(
-    r'-?"[^"]*"(?:~[0-9.]*)?(?:\^[0-9.]+)?'
+    r'[-+]?"[^"]*"(?:~[0-9.]*)?(?:\^[0-9.]+)?'
     # bracket-range filter: the [A TO B] body contains a space, so it must
     # be lexed as ONE token before the whitespace-delimited fallback
-    r'|-?[^\s():]+:[\[{][^\[\]{}()]*[\]}]'
+    r'|[-+]?[^\s():]+:[\[{][^\[\]{}()]*[\]}]'
     r'|\(|\)|[^\s()]+')
 _BOOST_RE = re.compile(r"^(.*?)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
 _OPS = {"AND", "OR", "NOT", "(", ")", "-"}
@@ -272,7 +278,7 @@ def _split_boost(tok: str) -> tuple[str, float | None]:
     return tok, None
 
 
-_FIELD_GROUP_RE = re.compile(r"^(-?)([A-Za-z0-9_.\-]+):$")
+_FIELD_GROUP_RE = re.compile(r"^([-+]?)([A-Za-z0-9_.\-]+):$")
 
 
 def _expand_field_groups(toks: list[str]) -> list[str]:
@@ -292,6 +298,11 @@ def _expand_field_groups(toks: list[str]) -> list[str]:
         if (m and i + 1 < len(toks) and toks[i + 1] == "("
                 and m.group(2).lower() in _FILTER_FIELDS):
             neg, fld = m.group(1), m.group(2)
+            if neg == "+":
+                raise QueryParseError(
+                    f"'+' on a field group (+{fld}:(...)) is ambiguous in "
+                    "the simple query style — write an explicit "
+                    f"`... AND {fld}:(...)` instead")
             j = i + 2
             members: list[str] = []
             while j < len(toks) and toks[j] != ")":
@@ -326,9 +337,59 @@ def _expand_field_groups(toks: list[str]) -> list[str]:
     return out
 
 
+def _apply_required_ops(toks: list[str]) -> list[str]:
+    """Lucene's `+` required operator (simple query style): `+a b` = a
+    MUST match, b SHOULD — docs containing a, scored s(a) + s(b if
+    present). Rewritten as `a AND (a OR b)`: the AND conjunct enforces the
+    must, the should-group (anchored on a must term so it never constrains
+    matching) registers the optional leaves for scoring — exactly Lucene's
+    must+should summation through the existing boolean-tree machinery.
+    `+filter:value` strips to the ordinary conjunct (filters are already
+    must); `-x` stays must_not. In queries with explicit boolean syntax
+    (AND/OR/NOT/parens) `+` is redundant — Lucene lowers AND to '+'
+    internally — and is stripped."""
+    if not any(t.startswith("+") and len(t) > 1 for t in toks):
+        return toks
+    if any(t in _OPS for t in toks):
+        return [t[1:] if t.startswith("+") and len(t) > 1 else t
+                for t in toks]
+    must_terms: list[str] = []
+    passthrough: list[str] = []
+    shoulds: list[str] = []
+    for t in toks:
+        if t.startswith("+") and len(t) > 1:
+            body = t[1:]
+            if _is_filter_tok(body) is not None:
+                passthrough.append(body)
+            else:
+                must_terms.append(body)
+        elif ((t.startswith("-") and len(t) > 1)
+                or _is_filter_tok(t) is not None):
+            passthrough.append(t)
+        else:
+            shoulds.append(t)
+    if not must_terms:
+        # only must-filters: stripping '+' is already the exact semantics
+        return passthrough + shoulds
+    out: list[str] = []
+    for m in must_terms:
+        if out:
+            out.append("AND")
+        out.append(m)
+    if shoulds:
+        out += ["AND", "(", must_terms[0]]
+        for s in shoulds:
+            out += ["OR", s]
+        out.append(")")
+    for p in passthrough:
+        out += ["AND", p]
+    return out
+
+
 def parse_query(q: str, mode: str = "or") -> Query:
     out = Query(mode=mode)
-    toks = _expand_field_groups(_TOKEN_RE.findall(q))
+    toks = _apply_required_ops(
+        _expand_field_groups(_TOKEN_RE.findall(q)))
 
     # filters are top-level conjuncts — strip them from the stream first
     # (with any explicit AND gluing them in); a filter under parens, OR, or

@@ -161,3 +161,45 @@ def test_phrase_inside_boolean(spark, pages, tmp_path):
     assert got == phrase_docs | merge_docs
     got = _result_docs(spark, io, 'merge AND NOT "data spark"')
     assert got == merge_docs - phrase_docs
+
+
+def test_parser_required_operator():
+    """Lucene `+` (simple query style): rewritten to must-AND plus a
+    should-group anchored on a must term (parser._apply_required_ops)."""
+    p = parse_query("+data merge")
+    assert p.bool_tree == ["and", "data", ["or", "data", "merge"]]
+    p = parse_query("+data +spark merge")
+    assert p.bool_tree == ["and", "data", "spark", ["or", "data", "merge"]]
+    # must + must_not + filter flatten exactly (no tree needed)
+    p = parse_query("+data -spark lang:de")
+    assert p.bool_tree is None
+    assert p.terms == ["data"] and p.not_terms == ["spark"]
+    assert [f.field for f in p.filters] == ["lang"]
+    # '+' inside explicit boolean syntax is redundant and stripped
+    p = parse_query("a AND +b")
+    assert p.bool_tree is None and p.terms == ["a", "b"]
+    assert p.mode == "and"
+    # must-filters strip to ordinary conjuncts
+    p = parse_query("+lang:de merge")
+    assert p.bool_tree is None and p.terms == ["merge"]
+    assert [f.field for f in p.filters] == ["lang"]
+
+
+def test_required_operator_doc_sets(spark, built_index, docsets):
+    """`+a b`: docs MUST contain a; b stays optional but scores — Lucene
+    must+should summation."""
+    io, _ = built_index
+    d = docsets
+    got = _result_docs(spark, io, "+data merge")
+    assert got == d["data"]
+    # scoring: s(data) + s(merge if present) — on the matching docs this
+    # is exactly the plain OR query's score
+    sc = {r["doc_id"]: r["score"] for r in
+          search(spark, io, [(0, "+data merge")], k=10**6).collect()}
+    both = {r["doc_id"]: r["score"] for r in
+            search(spark, io, [(0, "data merge")], k=10**6).collect()}
+    assert sc and all(abs(sc[x] - both[x]) < 1e-9 for x in sc)
+    got = _result_docs(spark, io, "+data +merge batch")
+    assert got == d["data"] & d["merge"]
+    got = _result_docs(spark, io, "+data -batch")
+    assert got == d["data"] - d["batch"]
