@@ -1104,6 +1104,24 @@ def q_fuzzy_search(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+def q_regex_search(spark, sf_dir):
+    """Regexp query through the engine: `/mer[a-z]+/` (Lucene query_string
+    regexp syntax — anchored full-term match) expands against the index
+    vocabulary to the lexicographically-first MAX_PREFIX_EXPANSIONS
+    matching terms and scores as ONE OR-group, exactly like a wildcard.
+    The literal head 'mer' prunes the term-sorted scan on the uncached
+    path. Reference: OpenSearch query_string regexp operator, the same
+    read surface as /root/reference/docs/api.md:4."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, "/mer[a-z]+/")], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_fuzzy_transpose(spark, sf_dir):
     """Lucene-DEFAULT fuzzy behavior (FuzzyQuery transpositions=true,
     OpenSearch query_string `fuzzy_transpositions`): `part~2` expands by
@@ -1187,6 +1205,17 @@ def _fuzzy_oracle_sql(base: str, dist: int, k: int, cap: int,
   SELECT term, count(*) AS df FROM toks
   WHERE {fn}(term, '{base}') <= {dist}
   GROUP BY term ORDER BY {fn}(term, '{base}'), term LIMIT {cap}""", k)
+
+
+def _regex_oracle_sql(pattern: str, k: int, cap: int) -> str:
+    """Expansion CTE = the engine's regexp rewrite: vocabulary terms fully
+    matching the anchored pattern, lexicographically first within the cap
+    — DuckDB's RE2 and the engine's java/python regexes agree on the
+    parser-validated portable metachar core."""
+    return _expansion_oracle_sql(f"""
+  SELECT term, count(*) AS df FROM toks
+  WHERE regexp_matches(term, '^(?:{pattern})$')
+  GROUP BY term ORDER BY term LIMIT {cap}""", k)
 
 
 def _wildcard_oracle_sql(pattern: str, k: int, cap: int) -> str:
@@ -1927,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_search": q_prefix_search,
         "q_fuzzy_search": q_fuzzy_search,
         "q_fuzzy_transpose": q_fuzzy_transpose,
+        "q_regex_search": q_regex_search,
         "q_wildcard_search": q_wildcard_search,
         "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
@@ -2075,6 +2105,8 @@ FROM dl
         "q_fuzzy_transpose": _fuzzy_oracle_sql(
             FUZZY_BASE, FUZZY_DIST, FLAGSHIP_K, _max_prefix_expansions(),
             fn="damerau_levenshtein"),
+        "q_regex_search": _regex_oracle_sql(
+            "mer[a-z]+", FLAGSHIP_K, _max_prefix_expansions()),
         "q_wildcard_search": _wildcard_oracle_sql(
             WILDCARD_PATTERN, FLAGSHIP_K, _max_prefix_expansions()),
         "q_filter_tree": _FILTER_TREE_ORACLE,

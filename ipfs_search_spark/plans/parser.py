@@ -26,7 +26,17 @@ Supported grammar (superset of what the reference's own doc examples use):
                   expands to the MAX_PREFIX_EXPANSIONS vocabulary terms
                   nearest by (levenshtein distance, term) — Lucene's
                   FuzzyQuery best-terms rewrite; scored as one group
-  Expansion clauses (prefix/wildcard/fuzzy) compose everywhere a term does:
+  /pattern/       regexp query (Lucene query_string regexp syntax):
+                  expands to the lexicographically-first
+                  MAX_PREFIX_EXPANSIONS vocabulary terms fully matching
+                  the pattern (Lucene regexps are anchored — no ^/$
+                  needed), scored as one group. The accepted metachar set
+                  is the portable core ([ ] ( ) | * + ? . , { } and [^..]
+                  classes) that means the same thing to java.util.regex
+                  (the distributed scan), python re (the cached path) and
+                  RE2 (the DuckDB oracle); backslash escapes raise
+  Expansion clauses (prefix/wildcard/fuzzy/regexp) compose everywhere a
+  term does:
   negated (`-te*` excludes docs matching ANY expansion term) and as boolean
   tree leaves (`(a OR te*) AND b` — the leaf is present for a doc iff any
   expansion term is)
@@ -132,6 +142,9 @@ _TOKEN_RE = re.compile(
     # bracket-range filter: the [A TO B] body contains a space, so it must
     # be lexed as ONE token before the whitespace-delimited fallback
     r'|[-+]?[^\s():]+:[\[{][^\[\]{}()]*[\]}]'
+    # regexp query /pat/: the body may contain parens (groups), so it must
+    # be lexed as ONE token before the paren alternatives
+    r'|[-+]?/[^\s/]+/(?:\^[0-9.]+)?'
     r'|\(|\)|[^\s()]+')
 _BOOST_RE = re.compile(r"^(.*?)\^([0-9]*\.?[0-9]+)$", re.DOTALL)
 _OPS = {"AND", "OR", "NOT", "(", ")", "-"}
@@ -167,6 +180,10 @@ class Expansion:
             return self.value + "*"
         if self.kind == "fuzzy":
             return f"{self.value}~{self.dist}"
+        if self.kind == "regex":
+            # the slashes keep an all-literal pattern (/abc/) from
+            # colliding with the plain term key 'abc'
+            return f"/{self.value}/"
         return self.value
 
 
@@ -458,6 +475,7 @@ def parse_query(q: str, mode: str = "or") -> Query:
 
 
 _FUZZY_RE = re.compile(r"^(.+?)~([0-9.]*)$")
+_REGEX_BODY_RE = re.compile(r"^[a-z0-9\[\]()|*+?.,{}^-]+$")
 _WILD_BODY_RE = re.compile(r"^[a-z0-9*?]+$")
 
 
@@ -469,6 +487,26 @@ def _parse_expansion(tok: str) -> Expansion | None:
     on malformed fuzziness/wildcards — never a silently different query."""
     if tok.startswith('"'):
         return None
+    if tok.startswith("/") and tok.endswith("/") and len(tok) > 2:
+        pat = tok[1:-1].lower()
+        if not _REGEX_BODY_RE.match(pat):
+            raise QueryParseError(
+                f"regexp {tok!r} may contain only [a-z0-9] and the "
+                "portable metachars [ ] ( ) | * + ? . , { } - ^ (no "
+                "backslash escapes — the pattern must mean the same thing "
+                "to java.util.regex, python re, and RE2)")
+        for i, c in enumerate(pat):
+            if c == "^" and (i == 0 or pat[i - 1] != "["):
+                raise QueryParseError(
+                    f"'^' in regexp {tok!r} is only supported as class "
+                    "negation ([^...]): Lucene regexps are anchored "
+                    "full-term matches, anchors are implicit")
+        try:
+            re.compile(f"^(?:{pat})$")
+        except re.error as exc:
+            raise QueryParseError(
+                f"malformed regexp {tok!r}: {exc}") from exc
+        return Expansion("regex", pat, 0)
     m = _FUZZY_RE.match(tok)
     if m:
         body, d = m.groups()

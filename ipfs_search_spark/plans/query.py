@@ -156,6 +156,20 @@ def _wildcard_regex(pattern: str) -> str:
 _WILD_LIT_RE = re.compile(r"^[a-z0-9]*")
 
 
+def _regex_literal_head(pat: str) -> str:
+    """Leading literal run of a regexp usable as a StartsWith pruning
+    prefix over the term-sorted vocabulary. Conservative: '' when the
+    pattern has a top-level alternation (either branch may not carry the
+    run), and the run's last char is dropped when a quantifier could make
+    it optional (`ab*c` matches 'ac' — only 'a' is a safe prefix)."""
+    if "|" in pat:
+        return ""
+    head = _WILD_LIT_RE.match(pat).group(0)
+    if head and len(pat) > len(head) and pat[len(head)] in "*?{":
+        head = head[:-1]
+    return head
+
+
 def _match_phrase(pos_data: dict, phrase: list, slop: int = 0):
     """Docs (int64 array) matching the phrase at the given slop.
 
@@ -1243,6 +1257,23 @@ class Searcher:
             lit = _WILD_LIT_RE.match(exp.value).group(0)
             rx = re.compile("^" + re.escape(pre)
                             + _wildcard_regex(exp.value)[1:])
+            if self._term_cache is not None:
+                terms = sorted(t for t in self._term_cache
+                               if t.startswith(pre + lit) and rx.match(t)
+                               )[:cap]
+                return {t: self._term_cache[t] for t in terms}
+            rows = self._wildcard_scan(pre + lit, rx.pattern, cap).collect()
+            return {r["term"]: (int(r["df"]), int(r["bucket"]))
+                    for r in rows}
+        if exp.kind == "regex":
+            # anchored full-term match (Lucene regexp semantics); the
+            # leading literal run prunes the term-sorted scan like a
+            # wildcard head, conservatively disabled when the pattern
+            # could match terms not carrying it (top-level alternation,
+            # or a quantifier that can erase the run's last char)
+            lit = _regex_literal_head(exp.value)
+            rx = re.compile("^" + re.escape(pre)
+                            + f"(?:{exp.value})$")
             if self._term_cache is not None:
                 terms = sorted(t for t in self._term_cache
                                if t.startswith(pre + lit) and rx.match(t)
