@@ -273,13 +273,32 @@ def test_uncached_vocab_scans_push_down(spark, built_index):
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "term" in rs and "df" in rs and "blocks" not in rs
 
+    # regex: the conservative literal head pushes like a wildcard head
+    p = pushed(sx._wildcard_scan("mer", "^(?:mer.+)$", 50))
+    assert "StartsWith(term,mer" in p
+
     # and the uncached surface answers identically to the cached one
     cached = Searcher(spark, io)  # small vocab → cached
     assert cached._term_cache is not None
-    qs = [(0, "da* merge"), (1, "data~1"), (2, "d?ta")]
+    qs = [(0, "da* merge"), (1, "data~1"), (2, "d?ta"), (3, "/dat[a-z]/")]
     a = [tuple(r) for r in sx.search(qs, k=10).collect()]
     b = [tuple(r) for r in cached.search(qs, k=10).collect()]
     assert a == b and a
+
+
+def test_transpositions_scan_stays_arrow_and_prefiltered(spark,
+                                                         built_index):
+    """The Damerau fuzzy scan (fuzzy_transpositions=True, uncached) must
+    keep the JVM-side levenshtein prefilter in the scan stage (the exact
+    DL re-check sees only band survivors) and evaluate the re-check as an
+    Arrow-batched python UDF, never row-at-a-time pickling."""
+    from ipfs_search_spark.plans.query import Searcher
+    io, _ = built_index
+    sx = Searcher(spark, io, cache_terms=False, fuzzy_transpositions=True)
+    plan = _plan(sx._fuzzy_scan("", "data", 1, 50))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "levenshtein" in plan  # JVM prefilter present below the UDF
 
 
 def test_or_not_tree_plans_two_documents_scans(spark, built_index):
