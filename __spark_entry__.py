@@ -66,7 +66,8 @@ def _engine_io(spark: SparkSession, sf_dir: str):
 
 def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0,
                      conj: bool = False, where: str | None = None,
-                     must: list[str] | None = None) -> str:
+                     must: list[str] | None = None,
+                     min_match: int = 0) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     having = (f"HAVING count(DISTINCT t.term) = {len(terms)}"
               if conj else "")
@@ -76,6 +77,9 @@ def _bm25_oracle_sql(terms: list[str], k: int, offset: int = 0,
         ml = ", ".join(f"'{t}'" for t in must)
         having = (f"HAVING count(DISTINCT CASE WHEN t.term IN ({ml}) "
                   f"THEN t.term END) = {len(must)}")
+    if min_match:
+        # minimum_should_match floor: at least N distinct groups
+        having = f"HAVING count(DISTINCT t.term) >= {min_match}"
     flt = (f"AND t.doc_id IN (SELECT doc_id FROM documents WHERE {where})"
            if where else "")
     return f"""
@@ -753,6 +757,23 @@ def q_match_all_filter(spark, sf_dir):
 # the entry index's nullable size column, as DuckDB sees it (mirror of the
 # _engine_io construction: n_chars, NULL on every 9th doc)
 _ENTRY_SIZE_SQL = "CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END"
+
+
+def q_min_should_match(spark, sf_dir):
+    """OpenSearch query_string `minimum_should_match`: the flagship OR
+    query with a floor of 2 — docs matching at least two of the three
+    groups, scored as the unchanged OR sum. In-shard group counting (the
+    same (doc, group) reduction AND mode uses, with >= instead of ==), so
+    the floor never ships non-matching candidates to the rank window."""
+    from ipfs_search_spark.plans.query import search
+    io = _engine_io(spark, sf_dir)
+    raw = search(spark, io, [(0, " ".join(FLAGSHIP_TERMS))],
+                 k=FLAGSHIP_K + 50, minimum_should_match=2)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
 
 
 def q_required_term(spark, sf_dir):
@@ -1967,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exists_filter": q_exists_filter,
         "q_field_group": q_field_group,
         "q_required_term": q_required_term,
+        "q_min_should_match": q_min_should_match,
         "q_paging": q_paging,
         "q_crawl_reach": q_crawl_reach,
         "q_outlinks": q_outlinks,
@@ -2222,6 +2244,8 @@ FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 20
             ["merge"], FLAGSHIP_K, where="lang IN ('de', 'en')"),
         "q_required_term": _bm25_oracle_sql(
             ["merge", "window"], FLAGSHIP_K, must=["merge"]),
+        "q_min_should_match": _bm25_oracle_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, min_match=2),
         "q_paging": _bm25_oracle_sql(FLAGSHIP_TERMS, FLAGSHIP_K,
                                      offset=FLAGSHIP_K),
         "q_crawl_reach": """

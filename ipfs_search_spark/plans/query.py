@@ -752,7 +752,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             if allowed is not None:
                 keep_x &= np.isin(doc_ids, allowed)
             doc_ids, doc_scores = doc_ids[keep_x], doc_scores[keep_x]
-            if not keep_x.all() and expected > 0:
+            if not keep_x.all() and expected != 0:
                 # the (doc,group) segments feed the AND counts — filter them
                 # consistently with the surviving docs
                 seg_keep = np.ones(seg_ids.size, dtype=bool)
@@ -764,13 +764,17 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                 doc_start = (np.flatnonzero(np.concatenate(
                     ([True], seg_ids[1:] != seg_ids[:-1])))
                     if seg_ids.size else np.empty(0, np.int64))
-        if expected > 0:
+        if expected != 0:
             # AND: required count comes from the QUERY (n_groups column),
             # not from the rows present in this shard — a shard lacking one
-            # query term entirely must yield zero AND matches
+            # query term entirely must yield zero AND matches. A NEGATIVE
+            # n_groups is minimum_should_match: at least |n| distinct
+            # groups must match (OR with a floor — OpenSearch query_string
+            # minimum_should_match); scoring stays the sum of matches
             doc_group_counts = np.add.reduceat(
                 np.ones(seg_ids.size, dtype=np.int64), doc_start)
-            keep = doc_group_counts == expected
+            keep = (doc_group_counts == expected if expected > 0
+                    else doc_group_counts >= -expected)
             doc_ids, doc_scores = doc_ids[keep], doc_scores[keep]
         pos_data: dict = {}
         if phrase_terms:
@@ -1313,9 +1317,19 @@ class Searcher:
 
     def search(self, queries: list, k: int = 10, mode: str = "or",
                prune: bool = True, fields: dict | None = None,
-               combine: str = "sum", offset: int = 0) -> DataFrame:
+               combine: str = "sum", offset: int = 0,
+               minimum_should_match: int = 0) -> DataFrame:
+        """minimum_should_match: OR-mode floor (OpenSearch query_string's
+        option of the same name) — a doc matches only when at least N of
+        the query's positive groups match (a term, or a whole expansion
+        clause, counts as one group; phrase terms count like terms, the
+        phrase adjacency itself stays required). 0/1 = plain OR; AND mode
+        supersedes it. Block-max pruning disables for floored queries
+        (a theta seeded from single-group docs that cannot match would
+        over-prune), the same soundness rule as AND/phrase queries."""
         return _search_impl(self.spark, self, queries, k, mode, prune,
-                            fields=fields, combine=combine, offset=offset)
+                            fields=fields, combine=combine, offset=offset,
+                            min_should_match=minimum_should_match)
 
 
 def more_like_this_query(text: str, n_hashes: int = 8, bands: int = 4,
@@ -1335,7 +1349,8 @@ def more_like_this_query(text: str, n_hashes: int = 8, bands: int = 4,
 def search(spark: SparkSession, io: TableIO, queries: list,
            k: int = 10, mode: str = "or", prune: bool = True,
            fields: dict | None = None, combine: str = "sum",
-           offset: int = 0, fuzzy_transpositions: bool = False) -> DataFrame:
+           offset: int = 0, fuzzy_transpositions: bool = False,
+           minimum_should_match: int = 0) -> DataFrame:
     """queries: list of (query_id:int, query_string) → DataFrame
     (query_id, rank, doc_id, url, score), rank offset+1..offset+k (result
     paging — the reference API's page parameter), ties by doc_id asc.
@@ -1346,23 +1361,35 @@ def search(spark: SparkSession, io: TableIO, queries: list,
     OpenSearch query_string's best_fields/dis_max; 'sum' is BM25F-lite.
 
     fuzzy_transpositions: expand fuzzy clauses by Damerau-Levenshtein
-    (OpenSearch's request option of the same name) — see Searcher."""
+    (OpenSearch's request option of the same name) — see Searcher.
+    minimum_should_match: OR-mode match floor — see Searcher.search."""
     sx = Searcher(spark, io, fuzzy_transpositions=fuzzy_transpositions)
     return sx.search(queries, k=k, mode=mode, prune=prune,
-                     fields=fields, combine=combine, offset=offset)
+                     fields=fields, combine=combine, offset=offset,
+                     minimum_should_match=minimum_should_match)
 
 
 def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                  k: int, mode: str, prune: bool,
                  fields: dict | None = None, combine: str = "sum",
-                 offset: int = 0) -> DataFrame:
+                 offset: int = 0, min_should_match: int = 0) -> DataFrame:
     n_docs, avgdl = sx.n_docs, sx.avgdl
     # paging: every per-shard/per-query cut keeps offset+k candidates so the
     # window can slice ranks (offset, offset+k]; rank stays the GLOBAL rank
     k_page = k + max(int(offset), 0)
+    min_should_match = int(min_should_match)
+    if min_should_match < 0:
+        raise ValueError("minimum_should_match must be >= 0")
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
+    if min_should_match > 1:
+        for qid, p in parsed.items():
+            if p.bool_tree is not None or p.match_all:
+                raise ValueError(
+                    "minimum_should_match applies to flat OR queries; "
+                    f"query {qid} has explicit boolean structure / is "
+                    "match-all — encode the floor in the tree instead")
     has_any_phrase = any(p.phrases or p.not_phrases or p.bool_phrases
                          for p in parsed.values())
     if has_any_phrase and not sx.positional:
@@ -1583,10 +1610,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 carriers.append((qid, bool_json, fl))
         # per-query AND-required count; 0 = OR / boolean-tree semantics
         # (an expansion clause counts as ONE group however many terms it
-        # expanded to)
+        # expanded to); NEGATIVE = minimum_should_match floor (at least
+        # |n| distinct groups — AND mode supersedes it, all are required)
         n_grp = (len(pos) + len(live_exps)
                  if (p.mode == "and" and p.bool_tree is None
                      and not p.match_all) else 0)
+        if (min_should_match > 1 and n_grp == 0 and p.bool_tree is None
+                and not p.match_all):
+            n_grp = -int(min_should_match)
 
         def _exp_rows(e, gkey, scored):
             """Scoring rows of one expansion clause: every vocabulary match

@@ -203,3 +203,60 @@ def test_required_operator_doc_sets(spark, built_index, docsets):
     assert got == d["data"] & d["merge"]
     got = _result_docs(spark, io, "+data -batch")
     assert got == d["data"] - d["batch"]
+
+
+def test_minimum_should_match(spark, built_index, docsets):
+    """OR-mode floor (OpenSearch query_string minimum_should_match): a doc
+    matches when >= N of the positive groups match; scoring stays the sum
+    of its present groups."""
+    io, _ = built_index
+    d = docsets
+    q = "data merge batch"
+
+    def _docs(**kw):
+        return {r["doc_id"]: r["score"] for r in
+                search(spark, io, [(0, q)], k=10**6, **kw).collect()}
+
+    plain = _docs()
+    m2 = _docs(minimum_should_match=2)
+    want2 = ((d["data"] & d["merge"]) | (d["data"] & d["batch"])
+             | (d["merge"] & d["batch"]))
+    assert set(m2) == want2
+    # scores identical to the plain OR query on the surviving docs
+    assert all(abs(m2[x] - plain[x]) < 1e-9 for x in m2)
+    # msm == group count ≡ AND (same docs AND same scores)
+    m3 = _docs(minimum_should_match=3)
+    a3 = _docs(mode="and")
+    assert m3 == a3
+    assert set(m3) == d["data"] & d["merge"] & d["batch"]
+    # msm <= 1 ≡ plain OR; msm > group count matches nothing
+    assert _docs(minimum_should_match=1) == plain
+    assert _docs(minimum_should_match=4) == {}
+
+
+def test_minimum_should_match_expansion_counts_once(spark, built_index,
+                                                    docsets):
+    """An expansion clause is ONE group toward the floor, however many
+    vocabulary terms it expanded to (Lucene rewrite semantics)."""
+    io, _ = built_index
+    d = docsets
+    got = {r["doc_id"] for r in
+           search(spark, io, [(0, "da* merge")], k=10**6,
+                  minimum_should_match=2).collect()}
+    from ipfs_search_spark.plans.parser import Expansion
+    from ipfs_search_spark.plans.query import Searcher
+    exp = Searcher(spark, io).expand(Expansion("prefix", "da", 0))
+    exp_docs = {r["doc_id"] for r in
+                search(spark, io, [(0, " ".join(exp))], k=10**6).collect()}
+    assert got == exp_docs & d["merge"]
+
+
+def test_minimum_should_match_errors(spark, built_index):
+    io, _ = built_index
+    with pytest.raises(ValueError):
+        search(spark, io, [(0, "(a OR b) AND c")], k=5,
+               minimum_should_match=2)
+    with pytest.raises(ValueError):
+        search(spark, io, [(0, "lang:de")], k=5, minimum_should_match=2)
+    with pytest.raises(ValueError):
+        search(spark, io, [(0, "a b")], k=5, minimum_should_match=-1)
