@@ -164,10 +164,20 @@ def bench_queries(spark, io) -> dict[str, float]:
         # fuzzy + general wildcard expansion surfaces
         "bm25_fuzzy": "merge~1 spark",
         "bm25_wildcard": "d?ta merge",
+        # r5 query_string tail: regexp expansion, bracket range, Lucene
+        # '+' must/should, field-scoped group
+        "bm25_regex": "/mer[a-z]+/ spark",
+        "bm25_range": "data size:[500 TO 90000]",
+        "bm25_required": "+data merge spark",
+        "bm25_field_group": "lang:(de OR en) AND data",
     }
     for name, qs in surfaces.items():
         lat[name] = _timed(
             lambda qs=qs: sx.search([(0, qs)], k=10).collect())
+    # minimum_should_match floor (in-shard group counting, prune off)
+    lat["bm25_msm2"] = _timed(
+        lambda: sx.search([(0, "data merge spark")], k=10,
+                          minimum_should_match=2).collect())
     return lat
 
 
