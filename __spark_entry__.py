@@ -194,10 +194,12 @@ _FIELD_SPECS = [
 ]
 
 
-def _bm25f_oracle_sql(terms: list[str], k: int) -> str:
+def _bm25f_oracle_sql(terms: list[str], k: int,
+                      tie_breaker: float = 0.0) -> str:
     """DuckDB mirror of the fielded engine: per-field BM25 with per-field
     df/N/avgdl and boost; best_fields combine (max of boosted field scores
-    per term), summed over terms — generated per _FIELD_SPECS."""
+    per term, blended max + tb*(sum - max) under a dis_max tie_breaker),
+    summed over terms — generated per _FIELD_SPECS."""
     tl = ", ".join(f"'{t}'" for t in terms)
     ctes = [f"arr AS (\n  SELECT doc_id, {_TOK} AS a FROM documents\n)"]
     score_sels = []
@@ -228,7 +230,9 @@ WITH {", ".join(ctes)},
 all_sc AS (
   {union}
 ), per_term AS (
-  SELECT doc_id, term, max(sc) AS sc FROM all_sc GROUP BY doc_id, term
+  SELECT doc_id, term,
+         max(sc) + {tie_breaker} * (sum(sc) - max(sc)) AS sc
+  FROM all_sc GROUP BY doc_id, term
 ), scored AS (
   SELECT doc_id, CAST(round(sum(sc), 6) AS DOUBLE) AS score
   FROM per_term GROUP BY doc_id
@@ -688,6 +692,24 @@ def q_bm25_fields(spark, sf_dir):
     sx = Searcher(spark, io)
     raw = sx.search([(0, " ".join(FIELDS_QUERY_TERMS))], k=FLAGSHIP_K + 50,
                     fields=FIELD_BOOSTS, combine="max")
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
+def q_bm25_dismax_tb(spark, sf_dir):
+    """Fielded dis_max with tie_breaker=0.3 (OpenSearch's tie_breaker):
+    per term the fields blend as max + 0.3*(sum - max) instead of the pure
+    best-field max — docs strong in several fields now outrank
+    single-field docs with an equal best field. Block-max bounds fall back
+    to the (sound, looser) sum bound."""
+    from ipfs_search_spark.plans.query import Searcher
+    io = _fielded_io(spark, sf_dir)
+    sx = Searcher(spark, io)
+    raw = sx.search([(0, " ".join(FIELDS_QUERY_TERMS))], k=FLAGSHIP_K + 50,
+                    fields=FIELD_BOOSTS, combine="max", tie_breaker=0.3)
     rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -1981,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wildcard_search": q_wildcard_search,
         "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
+        "q_bm25_dismax_tb": q_bm25_dismax_tb,
         "q_phrase_search": q_phrase_search,
         "q_phrase_slop": q_phrase_slop,
         "q_match_all_filter": q_match_all_filter,
@@ -2133,6 +2156,8 @@ FROM dl
             WILDCARD_PATTERN, FLAGSHIP_K, _max_prefix_expansions()),
         "q_filter_tree": _FILTER_TREE_ORACLE,
         "q_bm25_fields": _bm25f_oracle_sql(FIELDS_QUERY_TERMS, FLAGSHIP_K),
+        "q_bm25_dismax_tb": _bm25f_oracle_sql(
+            FIELDS_QUERY_TERMS, FLAGSHIP_K, tie_breaker=0.3),
         "q_phrase_search": _phrase_oracle_sql(
             [PHRASE_FREE_TERM], PHRASE_TERMS, FLAGSHIP_K),
         "q_phrase_slop": _phrase_oracle_sql(

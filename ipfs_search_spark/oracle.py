@@ -129,7 +129,7 @@ class BM25FOracle:
                         for f, d in field_docs.items()}
 
     def score(self, key, terms: list[str], boosts: dict,
-              combine: str = "max") -> float:
+              combine: str = "max", tie_breaker: float = 0.0) -> float:
         total = 0.0
         for t in sorted(set(terms)):
             contribs = []
@@ -144,7 +144,17 @@ class BM25FOracle:
             if not contribs:
                 continue
             if combine == "max":
-                total += max(contribs)
+                mx = max(contribs)
+                if tie_breaker:
+                    # dis_max tie_breaker blend: max + tb*(sum - max); the
+                    # sum runs in the same ascending field:term order as
+                    # the engine's add.reduceat (float-deterministic)
+                    s = 0.0
+                    for c in contribs:
+                        s += c
+                    total += mx + tie_breaker * (s - mx)
+                else:
+                    total += mx
             else:
                 s = 0.0
                 for c in contribs:
@@ -160,7 +170,8 @@ class BM25FOracle:
 
     def search(self, terms: list[str], boosts: dict, k: int = 10,
                combine: str = "max", mode: str = "or",
-               phrases: list | None = None) -> list[tuple]:
+               phrases: list | None = None,
+               tie_breaker: float = 0.0) -> list[tuple]:
         keys = set()
         for o in self.oracles.values():
             keys |= set(o.tf)
@@ -177,6 +188,7 @@ class BM25FOracle:
                 continue
             if any(not self.phrase_match(key, ph) for ph in phrases):
                 continue
-            hits.append((key, self.score(key, uniq, boosts, combine)))
+            hits.append((key, self.score(key, uniq, boosts, combine,
+                                         tie_breaker)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]

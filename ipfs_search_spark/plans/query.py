@@ -438,7 +438,7 @@ def _tree_sql(node, bool_filters: dict, bitmap: dict, doc_cols,
 
 def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                  combine: str = "sum", phrase_mode: str | None = None,
-                 cogroup: bool = False):
+                 cogroup: bool = False, tie_breaker: float = 0.0):
     """Scorer for one (query, shard) group.
 
     cogroup=True returns a TWO-argument function for
@@ -581,9 +581,12 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                       for b in blks), default=0.0)
              for i, a, blks in zip(idfs, avgdls, pdf["blocks"])],
             dtype=np.float64)
-        # a group's max possible contribution (for pruning bounds)
+        # a group's max possible contribution (for pruning bounds). With a
+        # dis_max tie_breaker the blended score max + tb*(sum - max) can
+        # exceed the max bound but never the sum bound, so bounds fall
+        # back to sum-combine (sound, merely looser)
         group_ub = np.zeros(n_groups)
-        if combine == "max":
+        if combine == "max" and tie_breaker == 0.0:
             np.maximum.at(group_ub, row_group, term_max_ub)
         else:
             np.add.at(group_ub, row_group, term_max_ub)
@@ -681,7 +684,7 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
             others_ub = float(group_ub.sum() - group_ub[g])
             # own-group headroom beyond this block: sibling field-rows only
             own_extra = float(group_ub[g] - term_max_ub[row_i]) \
-                if combine == "sum" else 0.0
+                if (combine == "sum" or tie_breaker > 0.0) else 0.0
             blocks = list(blocks)
             for bi, blk in enumerate(blocks):
                 if phrase_P_u is not None:
@@ -701,7 +704,8 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
                         continue
                 ub = t_idf * float(block_ub(blk["max_tf"], blk["min_dl"],
                                             avgdls[row_i]))
-                bound = (max(ub, float(group_ub[g])) if combine == "max"
+                bound = (max(ub, float(group_ub[g]))
+                         if combine == "max" and tie_breaker == 0.0
                          else ub + own_extra)
                 if theta > 0.0 and bound + others_ub < theta:
                     continue
@@ -733,6 +737,13 @@ def _make_scorer(k: int, mode: str, prune: bool, keep_all: bool,
         seg_idx = np.flatnonzero(new_seg)
         if combine == "max":
             seg_scores = np.maximum.reduceat(scores, seg_idx)
+            if tie_breaker > 0.0:
+                # OpenSearch dis_max tie_breaker: max + tb*(sum - max);
+                # the sum accumulates in the same ascending fielded-term
+                # order as the oracle (float-deterministic)
+                seg_sums = np.add.reduceat(scores, seg_idx)
+                seg_scores = seg_scores + tie_breaker * (seg_sums
+                                                         - seg_scores)
         else:
             seg_scores = np.add.reduceat(scores, seg_idx)
         seg_ids = ids[seg_idx]
@@ -1318,8 +1329,14 @@ class Searcher:
     def search(self, queries: list, k: int = 10, mode: str = "or",
                prune: bool = True, fields: dict | None = None,
                combine: str = "sum", offset: int = 0,
-               minimum_should_match: int = 0) -> DataFrame:
-        """minimum_should_match: OR-mode floor (OpenSearch query_string's
+               minimum_should_match: int = 0,
+               tie_breaker: float = 0.0) -> DataFrame:
+        """tie_breaker: OpenSearch dis_max tie_breaker for combine='max' —
+        a group's fielded contributions blend as max + tb*(sum - max)
+        instead of the pure best-field max (0.0 = dis_max, 1.0 ≡ sum).
+        Block-max bounds fall back to the sum bound (sound, looser).
+
+        minimum_should_match: OR-mode floor (OpenSearch query_string's
         option of the same name) — a doc matches only when at least N of
         the query's positive groups match (a term, or a whole expansion
         clause, counts as one group; phrase terms count like terms, the
@@ -1329,7 +1346,8 @@ class Searcher:
         over-prune), the same soundness rule as AND/phrase queries."""
         return _search_impl(self.spark, self, queries, k, mode, prune,
                             fields=fields, combine=combine, offset=offset,
-                            min_should_match=minimum_should_match)
+                            min_should_match=minimum_should_match,
+                            tie_breaker=tie_breaker)
 
 
 def more_like_this_query(text: str, n_hashes: int = 8, bands: int = 4,
@@ -1350,7 +1368,8 @@ def search(spark: SparkSession, io: TableIO, queries: list,
            k: int = 10, mode: str = "or", prune: bool = True,
            fields: dict | None = None, combine: str = "sum",
            offset: int = 0, fuzzy_transpositions: bool = False,
-           minimum_should_match: int = 0) -> DataFrame:
+           minimum_should_match: int = 0,
+           tie_breaker: float = 0.0) -> DataFrame:
     """queries: list of (query_id:int, query_string) → DataFrame
     (query_id, rank, doc_id, url, score), rank offset+1..offset+k (result
     paging — the reference API's page parameter), ties by doc_id asc.
@@ -1366,13 +1385,15 @@ def search(spark: SparkSession, io: TableIO, queries: list,
     sx = Searcher(spark, io, fuzzy_transpositions=fuzzy_transpositions)
     return sx.search(queries, k=k, mode=mode, prune=prune,
                      fields=fields, combine=combine, offset=offset,
-                     minimum_should_match=minimum_should_match)
+                     minimum_should_match=minimum_should_match,
+                     tie_breaker=tie_breaker)
 
 
 def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                  k: int, mode: str, prune: bool,
                  fields: dict | None = None, combine: str = "sum",
-                 offset: int = 0, min_should_match: int = 0) -> DataFrame:
+                 offset: int = 0, min_should_match: int = 0,
+                 tie_breaker: float = 0.0) -> DataFrame:
     n_docs, avgdl = sx.n_docs, sx.avgdl
     # paging: every per-shard/per-query cut keeps offset+k candidates so the
     # window can slice ranks (offset, offset+k]; rank stays the GLOBAL rank
@@ -1380,6 +1401,13 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
     min_should_match = int(min_should_match)
     if min_should_match < 0:
         raise ValueError("minimum_should_match must be >= 0")
+    tie_breaker = float(tie_breaker)
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    if tie_breaker > 0.0 and combine != "max":
+        raise ValueError(
+            "tie_breaker only applies to combine='max' (dis_max); "
+            "combine='sum' already stacks every field contribution")
 
     parsed: dict[int, Query] = {int(q): parse_query(s, mode=mode)
                                 for q, s in queries}
@@ -1784,12 +1812,14 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                 allowed_df.groupBy("query_id", "shard")
             ).applyInPandas(
                 _make_scorer(k_page, mode, prune, False, combine,
-                             phrase_mode="all", cogroup=True),
+                             phrase_mode="all", cogroup=True,
+                             tie_breaker=tie_breaker),
                 CANDIDATE_SCHEMA)
         else:
             candidates = pos_probe.groupBy("query_id", "shard").applyInPandas(
                 _make_scorer(k_page, mode, prune, False, combine,
-                             phrase_mode="all"), CANDIDATE_SCHEMA)
+                             phrase_mode="all", tie_breaker=tie_breaker),
+                CANDIDATE_SCHEMA)
 
     # match-all negation probes (the excluded doc sets) are built up front
     # so the per-query loop below can anti-join BEFORE its top-k cut

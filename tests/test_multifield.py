@@ -143,3 +143,41 @@ def test_fielded_not_phrase(spark, fielded):
     docs = {d for _, d, _ in got.get(0, [])}
     assert docs  # something survives
     assert not any(oracle.phrase_match(d, ["data", "spark"]) for d in docs)
+
+
+@pytest.mark.parametrize("tb", [0.3, 1.0])
+def test_fielded_tie_breaker(spark, fielded, tb):
+    """OpenSearch dis_max tie_breaker: per term, fields blend as
+    max + tb*(sum - max); tb=1.0 must equal combine='sum' exactly."""
+    io, oracle = fielded
+    engine = _run(spark, io, "max", tie_breaker=tb)
+    for qid, qs in QUERIES:
+        exp = oracle.search(qs.split(), BOOSTS, k=10, combine="max",
+                            tie_breaker=tb)
+        got = engine.get(qid, [])
+        assert len(got) == len(exp), (tb, qid)
+        for (rank, doc_id, score), (exp_doc, exp_score) in zip(got, exp):
+            assert doc_id == exp_doc, (tb, qid, rank)
+            assert abs(score - exp_score) <= 1e-9, (tb, qid, rank)
+
+
+def test_tie_breaker_one_equals_sum(spark, fielded):
+    io, _ = fielded
+    a = _run(spark, io, "max", tie_breaker=1.0)
+    b = _run(spark, io, "sum")
+    assert set(a) == set(b)
+    for qid in a:
+        for (ra, da, sa), (rb, db, sb) in zip(a[qid], b[qid]):
+            assert (ra, da) == (rb, db)
+            assert abs(sa - sb) <= 1e-12
+
+
+def test_tie_breaker_errors(spark, fielded):
+    io, _ = fielded
+    sx = Searcher(spark, io)
+    with pytest.raises(ValueError):
+        sx.search([(0, "data")], fields=BOOSTS, combine="sum",
+                  tie_breaker=0.5)
+    with pytest.raises(ValueError):
+        sx.search([(0, "data")], fields=BOOSTS, combine="max",
+                  tie_breaker=1.5)
