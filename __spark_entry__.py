@@ -1147,6 +1147,25 @@ def q_fuzzy_search(spark, sf_dir):
             .select("doc_id", "score", "rank"))
 
 
+def q_fuzzy_prefix_len(spark, sf_dir):
+    """OpenSearch `fuzzy_prefix_length` (Lucene FuzzyQuery prefixLength):
+    `part~2` with the first 2 chars pinned — candidates carry 'pa'
+    verbatim, and on the uncached path that prefix pushes as
+    StringStartsWith over the term-sorted vocabulary (the at-scale shape;
+    plan-asserted in tests/test_fuzzy_transpositions.py). With the prefix
+    pinned, full-string distance equals Lucene's suffix distance
+    (common-prefix stripping preserves edit distance)."""
+    from ipfs_search_spark.plans.query import Searcher
+    io = _engine_io(spark, sf_dir)
+    sx = Searcher(spark, io, fuzzy_prefix_length=2)
+    raw = sx.search([(0, f"{FUZZY_BASE}~{FUZZY_DIST}")], k=FLAGSHIP_K + 50)
+    rounded = raw.select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= FLAGSHIP_K)
+            .select("doc_id", "score", "rank"))
+
+
 def q_regex_search(spark, sf_dir):
     """Regexp query through the engine: `/mer[a-z]+/` (Lucene query_string
     regexp syntax — anchored full-term match) expands against the index
@@ -1238,15 +1257,18 @@ SELECT doc_id, score, rank FROM ranked WHERE rank <= {k} ORDER BY rank
 
 
 def _fuzzy_oracle_sql(base: str, dist: int, k: int, cap: int,
-                      fn: str = "levenshtein") -> str:
+                      fn: str = "levenshtein",
+                      prefix_length: int = 0) -> str:
     """Expansion CTE = the engine's fuzzy rewrite: vocabulary terms within
     edit distance `dist`, ranked (distance, term), capped — DuckDB's
     levenshtein() is the same unit-cost edit distance as the engine's, and
     its damerau_levenshtein() the same true-DL the transpositions mode
     pins (plans/query.py damerau_levenshtein)."""
+    pre = (f" AND term LIKE '{base[:prefix_length]}%'"
+           if prefix_length else "")
     return _expansion_oracle_sql(f"""
   SELECT term, count(*) AS df FROM toks
-  WHERE {fn}(term, '{base}') <= {dist}
+  WHERE {fn}(term, '{base}') <= {dist}{pre}
   GROUP BY term ORDER BY {fn}(term, '{base}'), term LIMIT {cap}""", k)
 
 
@@ -2000,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_search": q_fuzzy_search,
         "q_fuzzy_transpose": q_fuzzy_transpose,
         "q_regex_search": q_regex_search,
+        "q_fuzzy_prefix_len": q_fuzzy_prefix_len,
         "q_wildcard_search": q_wildcard_search,
         "q_filter_tree": q_filter_tree,
         "q_bm25_fields": q_bm25_fields,
@@ -2152,6 +2175,9 @@ FROM dl
             fn="damerau_levenshtein"),
         "q_regex_search": _regex_oracle_sql(
             "mer[a-z]+", FLAGSHIP_K, _max_prefix_expansions()),
+        "q_fuzzy_prefix_len": _fuzzy_oracle_sql(
+            FUZZY_BASE, FUZZY_DIST, FLAGSHIP_K, _max_prefix_expansions(),
+            prefix_length=2),
         "q_wildcard_search": _wildcard_oracle_sql(
             WILDCARD_PATTERN, FLAGSHIP_K, _max_prefix_expansions()),
         "q_filter_tree": _FILTER_TREE_ORACLE,

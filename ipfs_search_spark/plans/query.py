@@ -1041,7 +1041,8 @@ class Searcher:
     def __init__(self, spark: SparkSession, io: TableIO,
                  cache_terms: bool | None = None,
                  include_segments: bool | None = None,
-                 fuzzy_transpositions: bool = False):
+                 fuzzy_transpositions: bool = False,
+                 fuzzy_prefix_length: int = 0):
         """fuzzy_transpositions: OpenSearch query_string's
         `fuzzy_transpositions` request option — fuzzy clauses expand by
         Damerau-Levenshtein (an adjacent swap costs 1) instead of classic
@@ -1049,6 +1050,13 @@ class Searcher:
         shared bit-for-bit by F.levenshtein and DuckDB levenshtein();
         transpositions mode keeps its own three-way identity through
         damerau_levenshtein (python / Arrow-batched re-check / DuckDB).
+
+        fuzzy_prefix_length: OpenSearch `fuzzy_prefix_length` (Lucene
+        FuzzyQuery prefixLength) — fuzzy candidates must carry the base
+        term's first N characters verbatim, which turns the
+        full-vocabulary fuzzy scan into a StartsWith-pruned range scan
+        over the term-sorted vocabulary (the at-scale configuration; 0 =
+        Lucene default, whole-vocabulary automaton analogue).
 
         include_segments: also search `posting_segments` (incremental
         micro-batch appends, streaming/ingest_stream.py). Segments hold only
@@ -1058,6 +1066,9 @@ class Searcher:
         the segments table exists."""
         self.spark, self.io = spark, io
         self.fuzzy_transpositions = bool(fuzzy_transpositions)
+        self.fuzzy_prefix_length = int(fuzzy_prefix_length)
+        if self.fuzzy_prefix_length < 0:
+            raise ValueError("fuzzy_prefix_length must be >= 0")
         self.documents = io.read("documents")
         has_base = io.exists("postings")
         if include_segments is None:
@@ -1198,16 +1209,25 @@ class Searcher:
     def _fuzzy_scan(self, pre: str, base: str, dist: int, cap: int):
         """Fuzzy candidates: the field prefix (fielded indexes) pushes as
         StringStartsWith; the length band + levenshtein evaluate
-        post-scan (edit distance admits a changed FIRST character, so no
-        bare-term prefix can prune — Lucene walks its term automaton
-        instead, the columnar analogue being exactly this pruned scan)."""
+        post-scan (edit distance admits a changed FIRST character, so a
+        bare-term prefix cannot prune by default — Lucene walks its term
+        automaton instead, the columnar analogue being exactly this pruned
+        scan). With fuzzy_prefix_length = N > 0 (Lucene FuzzyQuery
+        prefixLength), candidates must carry the base's first N chars
+        verbatim — and THAT prefix pushes as StringStartsWith, turning the
+        full-vocabulary fuzzy scan into a term-sorted range scan (the
+        standard Lucene mitigation, and the at-scale configuration).
+        Distance stays on the full strings: with the prefix pinned it
+        equals Lucene's suffix distance (common-prefix stripping preserves
+        edit distance)."""
         lo, hi = len(base) - dist, len(base) + dist
         bare_col = (F.col("term").substr(F.lit(len(pre) + 1),
                                          F.length("term"))
                     if pre else F.col("term"))
         df = self.term_stats
-        if pre:
-            df = df.filter(F.col("term").startswith(pre))
+        plen = min(self.fuzzy_prefix_length, len(base))
+        if pre or plen:
+            df = df.filter(F.col("term").startswith(pre + base[:plen]))
         df = df.filter(F.length(bare_col).between(lo, hi))
         if not self.fuzzy_transpositions:
             return (df.withColumn("_d",
@@ -1302,11 +1322,14 @@ class Searcher:
         lo, hi = len(base) - dist, len(base) + dist
         dist_fn = (damerau_levenshtein if self.fuzzy_transpositions
                    else levenshtein)
+        plen = min(self.fuzzy_prefix_length, len(base))
         if self._term_cache is not None:
             cand = []
             for t in self._term_cache:
                 bare = t[len(pre):] if pre else t
                 if pre and not t.startswith(pre):
+                    continue
+                if plen and not bare.startswith(base[:plen]):
                     continue
                 if not lo <= len(bare) <= hi:
                     continue

@@ -140,3 +140,32 @@ def test_default_stays_classic(spark, env):
     e = Expansion("fuzzy", "tarce", 1)
     got = set(sx.expand(e))
     assert "trace" not in got
+
+
+def test_fuzzy_prefix_length(spark, env):
+    """fuzzy_prefix_length=N (Lucene FuzzyQuery prefixLength): candidates
+    carry the base's first N chars verbatim — the expansion set is exactly
+    the unconstrained set filtered to the shared prefix, and the uncached
+    scan pushes that prefix as StringStartsWith (the at-scale shape)."""
+    io, _ = env
+    from ipfs_search_spark.plans.parser import Expansion
+    e = Expansion("fuzzy", "tract", 2)
+    free = Searcher(spark, io)
+    pinned = Searcher(spark, io, fuzzy_prefix_length=2)
+    cold = Searcher(spark, io, cache_terms=False, fuzzy_prefix_length=2)
+    exp_free = free.expand(e)
+    exp_pin = pinned.expand(e)
+    assert exp_pin == {t: v for t, v in exp_free.items()
+                       if t.startswith("tr")}
+    assert list(exp_pin) == list(cold.expand(e))
+    # the pruning prefix reaches the parquet scan
+    plan = cold._fuzzy_scan("", "tract", 2, 50)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert "StartsWith(term,tr" in plan.split("PushedFilters:")[1][:300]
+    # composes with transpositions
+    dl = Searcher(spark, io, fuzzy_transpositions=True,
+                  fuzzy_prefix_length=1)
+    dl_free = Searcher(spark, io, fuzzy_transpositions=True)
+    assert dl.expand(e) == {t: v for t, v in dl_free.expand(e).items()
+                            if t.startswith("t")}
