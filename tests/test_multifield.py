@@ -181,3 +181,17 @@ def test_tie_breaker_errors(spark, fielded):
     with pytest.raises(ValueError):
         sx.search([(0, "data")], fields=BOOSTS, combine="max",
                   tie_breaker=1.5)
+
+
+def test_fielded_minimum_should_match(spark, fielded):
+    """msm composes with fielded search: groups are base terms, so with
+    two groups a floor of 2 is exactly AND mode (docs and scores)."""
+    io, oracle = fielded
+    got = _run(spark, io, "max", queries=[(0, "data spark")],
+               minimum_should_match=2).get(0, [])
+    exp = oracle.search(["data", "spark"], BOOSTS, k=10,
+                        combine="max", mode="and")
+    assert len(got) == len(exp) and got
+    for (rank, doc_id, score), (exp_doc, exp_score) in zip(got, exp):
+        assert doc_id == exp_doc
+        assert abs(score - exp_score) <= 1e-9

@@ -11,6 +11,8 @@ diverging between engines.
 """
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from ipfs_search_spark.plans.parser import (
     Expansion, QueryParseError, parse_query,
@@ -101,3 +103,27 @@ def test_negated_regex(spark, env):
     data = {r["doc_id"] for r in
             hot.search([(0, "data")], k=10**6).collect()}
     assert got == data - with_m
+
+
+# -- parser robustness fuzz (the grammar grew: ranges, _exists_, field
+# groups, '+', regexps — random streams must parse or raise
+# QueryParseError, never anything else) ------------------------------
+
+@given(st.lists(st.sampled_from(
+    ["data", "merge", "AND", "OR", "NOT", "(", ")", "-", "+data",
+     "+", "-data", "te*", "t?m", "data~1", "data~9", '"a b"', '"a b"~2',
+     "/dat[a-z]/", "/a(/", "lang:de", "lang:(de", "lang:(de en)",
+     "size:[1 TO 2]", "size:[1 2]", "size:{3 TO *]", "_exists_:lang",
+     "_exists_:nope", "-size:[1 TO 2]", "lang:de^2", "data^1.5",
+     "last-seen:>now-1M", "size:>abc", "references.name:x"]),
+    min_size=0, max_size=8))
+@settings(max_examples=400, deadline=None)
+def test_parser_fuzz_never_crashes(toks):
+    from ipfs_search_spark.plans.parser import filter_to_sql
+    q = " ".join(toks)
+    try:
+        p = parse_query(q)
+        for f in p.filters + list(p.bool_filters.values()):
+            filter_to_sql(f)
+    except QueryParseError:
+        pass  # the only acceptable failure mode
