@@ -78,12 +78,29 @@ class BM25Oracle:
                for term in phrase]
         if any(not ps for ps in pos):
             return False
-        for sel in product(*pos):
-            if len(set(sel)) != len(sel):
+        # Anchor on term 0's occurrence: in any valid selection every
+        # adjusted position lies within `slop` of term 0's adjusted
+        # position, so the product only needs each term's positions inside
+        # that window — bounding the enumeration at (2·slop+1)^(m-1) per
+        # anchor instead of the full |positions|^m blow-up on long docs
+        # with common terms (r5 review). Still a plain product over
+        # explicit choices, sharing no code shape with the engine's
+        # minimal-range window scan.
+        for p0 in pos[0]:
+            windowed = [[p0]]
+            for i, ps in enumerate(pos[1:], 1):
+                w = [p for p in ps if abs((p - i) - p0) <= slop]
+                if not w:
+                    break
+                windowed.append(w)
+            if len(windowed) != len(pos):
                 continue
-            adj = [p - i for i, p in enumerate(sel)]
-            if max(adj) - min(adj) <= slop:
-                return True
+            for sel in product(*windowed):
+                if len(set(sel)) != len(sel):
+                    continue
+                adj = [p - i for i, p in enumerate(sel)]
+                if max(adj) - min(adj) <= slop:
+                    return True
         return False
 
     def search(self, query_terms: list[str], k: int = 10,

@@ -354,7 +354,23 @@ def _expand_field_groups(toks: list[str]) -> list[str]:
     return out
 
 
-def _apply_required_ops(toks: list[str]) -> list[str]:
+def _group_span(toks: list[str], i: int) -> int | None:
+    """End index (exclusive) of a field-scoped group starting at toks[i]
+    (`fld:` followed by `(`), or None. Nested/unclosed groups return None
+    — _expand_field_groups raises on them with a precise message."""
+    m = _FIELD_GROUP_RE.match(toks[i])
+    if not (m and i + 1 < len(toks) and toks[i + 1] == "("
+            and m.group(2).lower() in _FILTER_FIELDS):
+        return None
+    j = i + 2
+    while j < len(toks) and toks[j] != ")":
+        if toks[j] == "(":
+            return None
+        j += 1
+    return j + 1 if j < len(toks) else None
+
+
+def _apply_required_ops(toks: list[str], mode: str) -> list[str]:
     """Lucene's `+` required operator (simple query style): `+a b` = a
     MUST match, b SHOULD — docs containing a, scored s(a) + s(b if
     present). Rewritten as `a AND (a OR b)`: the AND conjunct enforces the
@@ -362,32 +378,66 @@ def _apply_required_ops(toks: list[str]) -> list[str]:
     matching) registers the optional leaves for scoring — exactly Lucene's
     must+should summation through the existing boolean-tree machinery.
     `+filter:value` strips to the ordinary conjunct (filters are already
-    must); `-x` stays must_not. In queries with explicit boolean syntax
-    (AND/OR/NOT/parens) `+` is redundant — Lucene lowers AND to '+'
+    must); `-x` stays must_not; a field-scoped group (`lang:(de en)`) is
+    ONE passthrough unit — this runs BEFORE _expand_field_groups precisely
+    so the parens a group will expand into don't read as user-written
+    boolean syntax (`+data lang:(de en)` keeps its must). In AND mode, or
+    in queries with explicit user boolean syntax (AND/OR/NOT/parens
+    outside group spans), `+` is redundant — Lucene lowers AND to '+'
     internally — and is stripped."""
     if not any(t.startswith("+") and len(t) > 1 for t in toks):
         return toks
-    if any(t in _OPS for t in toks):
+
+    def stripped() -> list[str]:
         return [t[1:] if t.startswith("+") and len(t) > 1 else t
                 for t in toks]
+
+    if mode == "and":
+        # AND mode: every clause is already required ('+' is a no-op, as
+        # with OpenSearch default_operator=AND) — stripping must not
+        # RELAX anything, so never take the must+should rewrite here
+        return stripped()
+    spans: list[tuple[int, int]] = []
+    covered: set[int] = set()
+    i = 0
+    while i < len(toks):
+        j = _group_span(toks, i)
+        if j:
+            spans.append((i, j))
+            covered.update(range(i, j))
+            i = j
+        else:
+            i += 1
+    if any(t in _OPS for idx, t in enumerate(toks) if idx not in covered):
+        return stripped()
     must_terms: list[str] = []
-    passthrough: list[str] = []
+    passthrough: list[list[str]] = []  # units: single tokens / group spans
     shoulds: list[str] = []
-    for t in toks:
+    starts = {s: e for s, e in spans}
+    i = 0
+    while i < len(toks):
+        if i in starts:
+            # whole field group passes through intact ('+fld:(' keeps its
+            # '+' and raises in _expand_field_groups, unchanged)
+            passthrough.append(toks[i:starts[i]])
+            i = starts[i]
+            continue
+        t = toks[i]
+        i += 1
         if t.startswith("+") and len(t) > 1:
             body = t[1:]
             if _is_filter_tok(body) is not None:
-                passthrough.append(body)
+                passthrough.append([body])
             else:
                 must_terms.append(body)
         elif ((t.startswith("-") and len(t) > 1)
                 or _is_filter_tok(t) is not None):
-            passthrough.append(t)
+            passthrough.append([t])
         else:
             shoulds.append(t)
     if not must_terms:
         # only must-filters: stripping '+' is already the exact semantics
-        return passthrough + shoulds
+        return [t for unit in passthrough for t in unit] + shoulds
     out: list[str] = []
     for m in must_terms:
         if out:
@@ -398,15 +448,16 @@ def _apply_required_ops(toks: list[str]) -> list[str]:
         for s in shoulds:
             out += ["OR", s]
         out.append(")")
-    for p in passthrough:
-        out += ["AND", p]
+    for unit in passthrough:
+        out.append("AND")
+        out.extend(unit)
     return out
 
 
 def parse_query(q: str, mode: str = "or") -> Query:
     out = Query(mode=mode)
-    toks = _apply_required_ops(
-        _expand_field_groups(_TOKEN_RE.findall(q)))
+    toks = _expand_field_groups(
+        _apply_required_ops(_TOKEN_RE.findall(q), mode))
 
     # filters are top-level conjuncts — strip them from the stream first
     # (with any explicit AND gluing them in); a filter under parens, OR, or
@@ -501,6 +552,16 @@ def _parse_expansion(tok: str) -> Expansion | None:
                     f"'^' in regexp {tok!r} is only supported as class "
                     "negation ([^...]): Lucene regexps are anchored "
                     "full-term matches, anchors are implicit")
+        for m_br in re.finditer(r"\{", pat):
+            # every brace must open a {n} / {n,} / {n,m} quantifier: the
+            # python-only {,m} form is a quantifier to re but a LITERAL to
+            # RE2 and a PatternSyntaxException to java.util.regex — the
+            # one brace shape on which the three engines disagree
+            if not re.match(r"\{\d+(,\d*)?\}", pat[m_br.start():]):
+                raise QueryParseError(
+                    f"brace quantifier in regexp {tok!r} must be "
+                    "{n}, {n,} or {n,m} (the {,m} form is not portable "
+                    "across java regex / python re / RE2)")
         try:
             re.compile(f"^(?:{pat})$")
         except re.error as exc:

@@ -1898,13 +1898,15 @@ def _search_impl(spark: SparkSession, sx: "Searcher", queries: list,
                     # filter leaves need doc metadata; pure-term
                     # default-true trees evaluate on bits alone — no
                     # documents scan for branch A. INNER join (candidate
-                    # doc_ids always exist in docs — same build) with the
-                    # bounded candidate side broadcast: a left join could
-                    # only broadcast-build its right (big) side, so it
-                    # would shuffle the documents table.
-                    a = (F.broadcast(a)
-                         .join(docs.select("doc_id", *meta_cols),
-                               "doc_id", "inner"))
+                    # doc_ids always exist in docs — same build) with NO
+                    # broadcast hint: this legacy path carries keep_all
+                    # (uncut) candidates, which a common term makes
+                    # corpus-sized — forcing a broadcast here would
+                    # collect that unbounded set to the driver (r5
+                    # review). AQE picks broadcast on its own whenever the
+                    # candidate side is actually small.
+                    a = a.join(docs.select("doc_id", *meta_cols),
+                               "doc_id", "inner")
                 a = (a.filter(F.expr(tree_pred))
                      .select("query_id", "doc_id",
                              F.when(F.col("score") > 0.0, F.col("score"))

@@ -260,3 +260,22 @@ def test_minimum_should_match_errors(spark, built_index):
         search(spark, io, [(0, "lang:de")], k=5, minimum_should_match=2)
     with pytest.raises(ValueError):
         search(spark, io, [(0, "a b")], k=5, minimum_should_match=-1)
+
+
+def test_required_operator_survives_field_group():
+    """Regression (r5 review #1): the parens a field group expands into
+    must not read as user boolean syntax — '+data lang:(de OR en)' keeps
+    data required."""
+    p = parse_query("+data lang:(de OR en)")
+    assert p.bool_tree[0] == "and" and "data" in p.bool_tree
+    p = parse_query("+data lang:(de en) merge")
+    assert p.bool_tree[0] == "and" and "data" in p.bool_tree
+    assert ["or", "data", "merge"] in p.bool_tree  # merge stays optional
+
+
+def test_required_operator_and_mode_is_noop():
+    """Regression (r5 review #2): under mode='and' every clause is
+    already required — '+' must strip, never RELAX unprefixed terms."""
+    p = parse_query("+data merge", mode="and")
+    assert p.bool_tree is None and p.mode == "and"
+    assert p.terms == ["data", "merge"]
