@@ -431,7 +431,12 @@ def _apply_required_ops(toks: list[str], mode: str) -> list[str]:
             else:
                 must_terms.append(body)
         elif ((t.startswith("-") and len(t) > 1)
+                or t.startswith('"')
                 or _is_filter_tok(t) is not None):
+            # '-x' stays must_not, filters stay conjuncts — and a bare
+            # quoted phrase stays REQUIRED (the documented rule: quoted
+            # phrases are required clauses regardless of mode; '+' on
+            # other clauses must not demote it to optional)
             passthrough.append([t])
         else:
             shoulds.append(t)

@@ -279,3 +279,16 @@ def test_required_operator_and_mode_is_noop():
     p = parse_query("+data merge", mode="and")
     assert p.bool_tree is None and p.mode == "and"
     assert p.terms == ["data", "merge"]
+
+
+def test_required_operator_keeps_phrases_required():
+    """'+' on other clauses must not demote a bare quoted phrase to
+    optional — quoted phrases are required clauses regardless of mode
+    (the documented flat-grammar rule)."""
+    p = parse_query('+data "x y" merge')
+    assert p.bool_tree[0] == "and"
+    assert "ph:x y" in p.bool_tree          # phrase is a required conjunct
+    assert ["or", "data", "merge"] in p.bool_tree  # merge stays optional
+    # explicit must-phrase anchors the rewrite like any must term
+    p = parse_query('+"x y" merge')
+    assert p.bool_tree == ["and", "ph:x y", ["or", "ph:x y", "merge"]]
