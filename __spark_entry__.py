@@ -1989,6 +1989,56 @@ def q_streaming_dedup(spark, sf_dir):
                     F.col("first.event_type").alias("event_type")))
 
 
+def q_crawl_rate(spark, sf_dir):
+    """T7 — tumbling event-time windows as a REAL Structured Streaming run:
+    per-6h-window throughput rollup (count + value sum per event_type), the
+    ops-rate view the reference reads off its OTel/Prometheus counters
+    (/root/reference/instr/instr.go:34-45) and the windowed analogue of its
+    15-minute index refresh buckets (docs/indices/files.json:4). Same
+    replay harness as q_streaming_dedup: events.parquet then a sentinel 30
+    days ahead, so append mode's watermark passes every real window end and
+    flushes all state. Spark aligns tumbling windows to the 1970 epoch, so
+    the batch oracle buckets by floor(epoch(ts)/21600)."""
+    import datetime as _dt
+    import shutil as _sh
+    import uuid as _uuid
+
+    from ipfs_search_spark.streaming.ingest_stream import rate_windows
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    ev = spark.read.parquet(ev_path)
+    src = tempfile.mkdtemp(prefix="isx-rate-src-")
+    ckpt = tempfile.mkdtemp(prefix="isx-rate-ckpt-")
+    data_file = os.path.join(src, "batch-000.parquet")
+    _sh.copyfile(ev_path, data_file)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + _dt.timedelta(days=30), -1, "sentinel", 0.0, "")],
+        ev.schema)
+    sent_dir = tempfile.mkdtemp(prefix="isx-rate-sent-")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = [f for f in os.listdir(sent_dir) if f.endswith(".parquet")][0]
+    sent_file = os.path.join(src, "batch-001.parquet")
+    _sh.copyfile(os.path.join(sent_dir, part), sent_file)
+    now = os.path.getmtime(sent_file)
+    os.utime(data_file, (now - 60, now - 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = rate_windows(stream, "ts", window="6 hours",
+                       keys=("event_type",), value_col="value")
+    qname = "crawl_rate_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(qname)
+            .filter(F.col("event_type") != "sentinel")
+            .select("window_start", "window_end", "event_type", "n_events",
+                    F.round("sum_value", 6).alias("sum_value")))
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -2064,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mime_gate": q_mime_gate,
         "q_url_validity": q_url_validity,
         "q_streaming_dedup": q_streaming_dedup,
+        "q_crawl_rate": q_crawl_rate,
     }
 
 
@@ -2635,6 +2686,20 @@ FROM (SELECT user_id, ts, event_type,
                                 ORDER BY ts, event_id) AS rn
       FROM events)
 WHERE rn = 1
+""",
+        # Spark aligns tumbling windows to the 1970 epoch, so the oracle
+        # bucket is floor(epoch/21600); make_timestamp takes epoch MICROS
+        # and returns a naive TIMESTAMP (no session-tz cast).
+        "q_crawl_rate": """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                      * 1000000) AS window_start,
+       make_timestamp((CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                       + 21600) * 1000000) AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
 """,
         "q_quality": f"""
 WITH t AS (

@@ -41,6 +41,48 @@ def sniffer_stream(pages_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["url"]))
 
 
+def rate_windows(df: DataFrame, time_col: str, *,
+                 window: str = "15 minutes", slide: str | None = None,
+                 session_gap: str | None = None,
+                 watermark: str = "1 hour",
+                 keys: tuple = (), value_col: str | None = None) -> DataFrame:
+    """T7 — time-windowed throughput rollup: tumbling (default), sliding
+    (`slide` < `window`), or session windows (`session_gap`, dynamic
+    extent). The reference has no windowed operator of its own — its rates
+    are OTel/Prometheus scrape-interval counters (instr/instr.go:34-45)
+    and its index visibility advances in fixed 15-minute refresh buckets
+    (docs/indices/files.json:4) — so this is the SURVEY §2 T7 row's
+    documented Spark realization (time-bucketed rollups via `window()`),
+    not a port.
+
+    Works identically on a batch DataFrame (windowed groupBy) and a
+    streaming one (watermarked stateful aggregation, append mode: a window
+    emits once the event-time watermark passes its end and its state is
+    dropped — the same bounded-state contract as the sniffer dedup above).
+    Columns out: window_start, window_end, *keys, n_events[, sum_value].
+    Spark aligns tumbling/sliding windows to the 1970 epoch, so a batch
+    SQL oracle is `floor(epoch(ts)/W)*W` bucketing (session windows have
+    no closed-form SQL bucket; they're covered by batch-parity tests).
+    """
+    if session_gap is not None and slide is not None:
+        raise ValueError("session windows have a dynamic extent; "
+                         "session_gap and slide are mutually exclusive")
+    if session_gap is not None:
+        w = F.session_window(F.col(time_col), session_gap)
+    else:
+        w = F.window(F.col(time_col), window, slide or window)
+    src = df.withWatermark(time_col, watermark) if df.isStreaming else df
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    out_cols = ["n_events"] + (["sum_value"] if value_col else [])
+    return (src.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+            .agg(*aggs)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    *keys, *out_cols))
+
+
 def incremental_index_microbatch(io, n_shards: int = 8, n_buckets: int = 64,
                                  positions: bool = False):
     """foreachBatch hook: each micro-batch of new pages is appended to the
