@@ -483,6 +483,16 @@ def sweep_summary() -> list[dict]:
             hist = json.load(f)
     except (ValueError, OSError):
         return []
+    def _clean(e: dict) -> bool:
+        # same two gates as _session_envelope_data (kept inline: that
+        # helper re-reads the file per call and this one groups by size)
+        bw = (e.get("machine_envelope") or {}).get("bw_eff")
+        probes = e.get("capacity_probes_sec") or []
+        spread = (max(probes) / min(probes)) if probes else None
+        floor_ok = (min(probes) <= CPU_FLOOR_MAX) if probes else True
+        return bool(bw and bw >= DRAM_GATE_MIN and floor_ok
+                    and (spread is None or spread <= CPU_SPREAD_MAX))
+
     groups: dict = {}
     for e in hist:
         groups.setdefault((e["n_pages"], tuple(e["levels"])), []).append(e)
@@ -510,6 +520,7 @@ def sweep_summary() -> list[dict]:
         out.append({
             "n_pages": n_pages, "levels": list(levels),
             "sessions": len(entries),
+            "clean_sessions": sum(1 for e in entries if _clean(e)),
             "lo_floor_sec": round(min(lo_runs), 3),
             "hi_floor_sec": round(min(hi_runs), 3),
             "best_session_eff": round(best, 3),
@@ -850,18 +861,34 @@ def write_bench_md(payload: dict) -> None:
         ]
         sweep = payload.get("scaling_sweep") or []
         cur_tag = _engine_version()
+        any_unclean_size = False
         for row in sweep:
             rlo, rhi = row["levels"]
             cur = (row.get("per_engine") or {}).get(cur_tag)
             cur_cell = (f"{cur['merged_floor_eff']} "
                         f"({cur['lo_floor_sec']}/{cur['hi_floor_sec']} s)"
                         if cur else "—")
+            # a size none of whose sessions passed both gates has floors
+            # that are still contended — mark it rather than letting its
+            # merged ratio read as a quiet-box measurement
+            star = ""
+            if row.get("clean_sessions") == 0:
+                star = "\\*"
+                any_unclean_size = True
             lines.append(
                 f"| {row['n_pages'] // 1000}k pages "
                 f"({rlo}→{rhi}) | {row['lo_floor_sec']} s | "
                 f"{row['hi_floor_sec']} s | {row['best_session_eff']} | "
-                f"{row['merged_floor_eff']} | {cur_cell} | "
+                f"{row['merged_floor_eff']}{star} | {cur_cell} | "
                 f"{row['sessions']} |")
+        if any_unclean_size:
+            lines += [
+                "",
+                "\\* no gate-clean session recorded at this size yet — "
+                "every window was envelope- or spread-flagged, so these "
+                "floors are contended UPPER bounds on wall time and the "
+                "ratio is a LOWER bound on the quiet-box efficiency.",
+            ]
         if not sweep:
             lines.append(
                 f"| {sc['n_pages'] // 1000}k pages (per-round) | "
